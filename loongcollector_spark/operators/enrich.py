@@ -1,0 +1,269 @@
+"""Enrichment / transform operators (SURVEY.md §2.4).
+
+* ``dict_map``        — processor_dict_map lookup-table enrich via BROADCAST join
+                        (plugins/processor/dictmap/processor_dict_map.go:30-186)
+* ``rename_keys``     — processor_rename (plugins/processor/rename/processor_rename.go:26-141)
+* ``add_fields``      — processor_add_fields (plugins/processor/addfields/...go:26-85)
+* ``appender``        — processor_appender (plugins/processor/appender/...go:31-39)
+* ``desensitize``     — processor_desensitize_native const/md5 modes
+                        (core/plugin/processor/ProcessorDesensitizeNative.cpp:146-253)
+* ``string_replace``  — processor_string_replace (regex/const/unquote)
+* ``base64_field`` / ``md5_field`` / ``pack_json`` — small field transforms
+* ``log_to_metric``   — processor_log_to_sls_metric reshape
+                        (plugins/processor/logtoslsmetric/...go:32-172)
+
+Scale notes: dict_map is ALWAYS a broadcast hash join (dict ≤1000 rows per the
+reference's MaxDictSize) — zero shuffle on the fact side. The md5-desensitize
+mode needs Python's re.sub with a hash callback → Arrow-batched pandas UDF
+(slow path, only when configured).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast, pandas_udf
+from pyspark.sql import types as T
+
+
+def dict_map(
+    df: DataFrame,
+    dict_df: DataFrame,
+    source_key: str,
+    dest_key: str,
+    missing: str | None = None,
+    mode: str = "overwrite",  # overwrite | fill (only-if-absent)
+    fields_col: str = "fields",
+    source_is_field: bool = True,
+) -> DataFrame:
+    """Lookup-table enrich. ``dict_df`` must be 2 columns ``(key, value)``.
+
+    Broadcast hash join on the dict (processor_dict_map.go caps dicts at 1000
+    entries, .go:96-146) → no shuffle of the big side, survives any scale-up.
+    ``mode='fill'`` writes only when ``dest_key`` is absent; ``missing`` is the
+    HandleMissing default (.go:148-186; None → leave row unenriched).
+    """
+    k, v = dict_df.columns[:2]
+    d = broadcast(dict_df.select(F.col(k).alias("__dm_key"), F.col(v).alias("__dm_val")))
+    src = F.col(fields_col)[source_key] if source_is_field else F.col(source_key)
+    joined = df.join(d, src == F.col("__dm_key"), "left")
+    mapped = F.col("__dm_val") if missing is None else F.coalesce(F.col("__dm_val"), F.lit(missing))
+    base = F.col(fields_col)
+    if mode == "fill":
+        new_val = F.when(base[dest_key].isNotNull(), base[dest_key]).otherwise(mapped)
+    else:
+        new_val = mapped
+    out_map = F.when(
+        new_val.isNotNull(), F.map_concat(F.map_filter(base, lambda kk, _: kk != F.lit(dest_key)), F.create_map(F.lit(dest_key), new_val))
+    ).otherwise(base)
+    return joined.withColumn(fields_col, out_map).drop("__dm_key", "__dm_val")
+
+
+def rename_keys(
+    df: DataFrame, source_keys: list[str], dest_keys: list[str], fields_col: str = "fields"
+) -> DataFrame:
+    """processor_rename: positional key rename inside the fields map."""
+    mapping = dict(zip(source_keys, dest_keys))
+    pairs = [x for kv in mapping.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
+    lookup = F.create_map(*pairs)
+    return df.withColumn(
+        fields_col, F.transform_keys(F.col(fields_col), lambda k, _: F.coalesce(lookup[k], k))
+    )
+
+
+def add_fields(
+    df: DataFrame, fields: dict[str, str], ignore_if_exist: bool = False, fields_col: str = "fields"
+) -> DataFrame:
+    """processor_add_fields: append constant fields."""
+    add = F.create_map(*[F.lit(x) for kv in fields.items() for x in kv])
+    base = F.col(fields_col)
+    if ignore_if_exist:
+        add = F.map_filter(add, lambda k, _: base[k].isNull())
+    return df.withColumn(fields_col, F.map_concat(base, add))
+
+
+def appender(df: DataFrame, key: str, value: str, fields_col: str = "fields") -> DataFrame:
+    """processor_appender: concatenate ``value`` onto existing field ``key``."""
+    base = F.col(fields_col)
+    return df.withColumn(
+        fields_col,
+        F.map_concat(
+            F.map_filter(base, lambda k, _: k != F.lit(key)),
+            F.create_map(F.lit(key), F.concat(F.coalesce(base[key], F.lit("")), F.lit(value))),
+        ),
+    )
+
+
+def desensitize_const(
+    df: DataFrame,
+    key: str,
+    regex: str,
+    replacement: str,
+    replace_all: bool = True,
+    fields_col: str = "fields",
+    source_is_field: bool = True,
+) -> DataFrame:
+    """processor_desensitize const mode: regex redaction → constant
+    (ProcessorDesensitizeNative.cpp:202-207). Native regexp_replace."""
+    def first_only(cur):
+        # Replace only the FIRST occurrence (Replace vs GlobalReplace,
+        # ProcessorDesensitizeNative.cpp:202-207): stitch around the first match.
+        pos = F.regexp_instr(cur, regex)  # 1-based start, 0 if no match
+        hit = F.regexp_extract(cur, regex, 0)
+        stitched = F.concat(
+            F.substr(cur, F.lit(1), pos - F.lit(1)),
+            F.lit(replacement),
+            F.substr(cur, pos + F.length(hit), F.length(cur)),
+        )
+        return F.when(pos > 0, stitched).otherwise(cur)
+
+    if source_is_field:
+        base = F.col(fields_col)
+        cur = base[key]
+        new = F.regexp_replace(cur, regex, replacement) if replace_all else first_only(cur)
+        out_map = F.when(
+            cur.isNotNull(),
+            F.map_concat(F.map_filter(base, lambda k, _: k != F.lit(key)), F.create_map(F.lit(key), new)),
+        ).otherwise(base)
+        return df.withColumn(fields_col, out_map)
+    new = F.regexp_replace(F.col(key), regex, replacement) if replace_all else first_only(F.col(key))
+    return df.withColumn(key, new)
+
+
+def _md5_sub(series: pd.Series, pattern: str) -> pd.Series:
+    rx = re.compile(pattern)  # compiled once per Arrow batch, not per row
+
+    def repl(m: re.Match) -> str:
+        return hashlib.md5(m.group(0).encode()).hexdigest()
+
+    return series.map(lambda s: rx.sub(repl, s) if s is not None else None)
+
+
+def desensitize_md5(
+    df: DataFrame, key: str, regex: str, fields_col: str = "fields", source_is_field: bool = True
+) -> DataFrame:
+    """processor_desensitize md5 mode: matched segment → md5 hex
+    (ProcessorDesensitizeNative.cpp:208-248). Pandas UDF (needs callback sub)."""
+
+    @pandas_udf(T.StringType())
+    def md5_sub_udf(s: pd.Series) -> pd.Series:
+        return _md5_sub(s, regex)
+
+    if source_is_field:
+        base = F.col(fields_col)
+        cur = base[key]
+        new = md5_sub_udf(cur)
+        out_map = F.when(
+            cur.isNotNull(),
+            F.map_concat(F.map_filter(base, lambda k, _: k != F.lit(key)), F.create_map(F.lit(key), new)),
+        ).otherwise(base)
+        return df.withColumn(fields_col, out_map)
+    return df.withColumn(key, md5_sub_udf(F.col(key)))
+
+
+def string_replace(
+    df: DataFrame,
+    key: str,
+    method: str,
+    match: str = "",
+    replacement: str = "",
+    dest_key: str | None = None,
+    fields_col: str = "fields",
+) -> DataFrame:
+    """processor_string_replace: regex | const | unquote
+    (plugins/processor/stringreplace/processor_string_replace.go:41-55)."""
+    base = F.col(fields_col)
+    cur = base[key]
+    if method == "regex":
+        new = F.regexp_replace(cur, match, replacement)
+    elif method == "const":
+        new = F.replace(cur, F.lit(match), F.lit(replacement))
+    elif method == "unquote":
+        new = F.regexp_replace(cur, r'^"(.*)"$', "$1")
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    dk = dest_key or key
+    out_map = F.when(
+        cur.isNotNull(),
+        F.map_concat(F.map_filter(base, lambda k, _: k != F.lit(dk)), F.create_map(F.lit(dk), new)),
+    ).otherwise(base)
+    return df.withColumn(fields_col, out_map)
+
+
+def base64_field(df: DataFrame, key: str, dest_key: str, decode: bool = False, fields_col: str = "fields") -> DataFrame:
+    """processor_base64_encoding/_decoding."""
+    base = F.col(fields_col)
+    cur = base[key]
+    new = F.unbase64(cur).cast("string") if decode else F.base64(cur.cast("binary"))
+    return df.withColumn(
+        fields_col,
+        F.when(cur.isNotNull(), F.map_concat(F.map_filter(base, lambda k, _: k != F.lit(dest_key)), F.create_map(F.lit(dest_key), new))).otherwise(base),
+    )
+
+
+def md5_field(df: DataFrame, key: str, dest_key: str, fields_col: str = "fields") -> DataFrame:
+    """processor_md5: md5 hex of field value."""
+    base = F.col(fields_col)
+    cur = base[key]
+    return df.withColumn(
+        fields_col,
+        F.when(cur.isNotNull(), F.map_concat(F.map_filter(base, lambda k, _: k != F.lit(dest_key)), F.create_map(F.lit(dest_key), F.md5(cur.cast("binary"))))).otherwise(base),
+    )
+
+
+def pack_json(df: DataFrame, source_keys: list[str], dest_key: str, fields_col: str = "fields") -> DataFrame:
+    """processor_packjson: pack listed fields into one JSON object string."""
+    base = F.col(fields_col)
+    obj = F.to_json(F.struct(*[base[k].alias(k) for k in source_keys]))
+    return df.withColumn(
+        fields_col, F.map_concat(F.map_filter(base, lambda k, _: k != F.lit(dest_key)), F.create_map(F.lit(dest_key), obj))
+    )
+
+
+def add_tags(df: DataFrame, tags: dict[str, str], tags_col: str = "tags") -> DataFrame:
+    """processor_tag_native: inject host/env tags as group tags
+    (core/plugin/processor/inner/ProcessorTagNative.cpp:44-120)."""
+    add = F.create_map(*[F.lit(x) for kv in tags.items() for x in kv])
+    if tags_col in df.columns:
+        return df.withColumn(tags_col, F.map_concat(F.coalesce(F.col(tags_col), F.create_map().cast("map<string,string>")), add))
+    return df.withColumn(tags_col, add)
+
+
+def log_to_metric(
+    df: DataFrame,
+    metric_values: dict[str, str],  # name field -> value field (or name literal -> value field)
+    label_keys: list[str],
+    time_key: str | None = None,
+    fields_col: str = "fields",
+) -> DataFrame:
+    """processor_log_to_sls_metric: reshape log rows into metric rows with
+    ``__name__``, ``__value__``, sorted ``__labels__`` (k#$#v|...), ``__time_nano__``.
+    Name/label validation regexes mirror .go:32-56."""
+    base = F.col(fields_col)
+    labels = F.array_join(
+        F.array_sort(F.array(*[F.concat(F.lit(k), F.lit("#$#"), F.coalesce(base[k], F.lit(""))) for k in label_keys])),
+        "|",
+    )
+    rows = []
+    for name_field, value_field in metric_values.items():
+        rows.append(
+            F.struct(
+                F.coalesce(base[name_field], F.lit(name_field)).alias("__name__"),
+                base[value_field].alias("__value__"),
+            )
+        )
+    exploded = df.withColumn("__metrics__", F.explode(F.array(*rows)))
+    out = exploded.select(
+        "*",
+        F.col("__metrics__.__name__").alias("__name__"),
+        F.col("__metrics__.__value__").alias("__value__"),
+    ).drop("__metrics__")
+    out = out.withColumn("__labels__", labels)
+    if time_key:
+        out = out.withColumn("__time_nano__", (base[time_key].cast("double") * 1e9).cast("long"))
+    # strict metric-name validation (logtoslsmetric .go:172)
+    return out.filter(F.col("__name__").rlike(r"^[a-zA-Z_:][a-zA-Z0-9_:]*$") & F.col("__value__").rlike(r"^-?\d+(\.\d+)?$"))

@@ -1,0 +1,167 @@
+"""Config-driven pipeline compiler — the CollectionPipeline::Init analog
+(core/collection_pipeline/CollectionPipeline.cpp:140,242): a pipeline spec
+(Python dict) is compiled ONCE into a DataFrame DAG; Catalyst is the optimizer
+the reference never had.
+
+Key scale decision: per-``source`` parser dispatch happens inside ONE lazy CASE
+projection (``parse_by_source``), so the input table is scanned exactly once and
+each row evaluates only its own parser — no per-source unions, no repeated IO.
+
+A full pipeline = decode → parse(by source) → filters → enrich → route →
+salted repartition → fan-out sinks + per-sink counts.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..codec import with_content
+from ..operators import parse as P
+from ..operators.route import RouteRule, route_rows
+
+
+@dataclass(frozen=True)
+class ParserSpec:
+    """One per-source parser config (the processor config JSON analog,
+    example_config/ in the reference)."""
+
+    kind: str  # regex | json | delimiter | apsara | kv
+    regex: str = ""
+    keys: tuple[str, ...] = ()
+    separator: str = "|"
+    kv_delimiter: str = "\t"
+    kv_separator: str = ":"
+    overflow: str = "extend"
+    allow_shortened: bool = False
+    opts: P.ParserOptions = field(default_factory=P.ParserOptions)
+
+
+def _branch_exprs(spec: ParserSpec, src: Column) -> tuple[Column, Column, Column | None]:
+    """(parsed_map, matched, event_ts|None) for one parser spec."""
+    if spec.kind == "regex":
+        m, ok = P.regex_exprs(src, spec.regex, list(spec.keys))
+        return m, ok, None
+    if spec.kind == "json":
+        m, ok = P.json_exprs(src)
+        return m, ok, None
+    if spec.kind == "delimiter":
+        m, ok = P.delimiter_exprs(
+            src, list(spec.keys), spec.separator, spec.overflow, spec.allow_shortened
+        )
+        return m, ok, None
+    if spec.kind == "apsara":
+        m, ok, ts = P.apsara_exprs(src)
+        return m, ok, ts
+    if spec.kind == "kv":
+        m, ok = P.kv_exprs(src, spec.kv_delimiter, spec.kv_separator)
+        return m, ok, None
+    raise ValueError(f"unknown parser kind {spec.kind!r}")
+
+
+def parse_by_source(
+    df: DataFrame,
+    parsers: dict[str, ParserSpec],
+    source_col: str = "source",
+    content_col: str = "content",
+    fields_col: str = "fields",
+    time_col: str = "event_time",
+) -> DataFrame:
+    """Dispatch parsers per source value in one projection (single scan).
+
+    Rows whose source has no configured parser keep an empty fields map and
+    ``_parse_ok = false`` (they still flow — routing decides their sink).
+    """
+    src = F.col(content_col)
+    empty = F.create_map().cast("map<string,string>")
+    base = F.coalesce(F.col(fields_col), empty) if fields_col in df.columns else empty
+
+    fields_expr: Column | None = None
+    ok_expr: Column | None = None
+    ts_expr: Column | None = None
+    for source_val, spec in parsers.items():
+        cond = F.col(source_col) == F.lit(source_val)
+        parsed, matched, ts = _branch_exprs(spec, src)
+        branch_fields = P.apply_parser_options(parsed, matched, src, base, spec.opts)
+        fields_expr = (
+            F.when(cond, branch_fields) if fields_expr is None else fields_expr.when(cond, branch_fields)
+        )
+        ok_expr = F.when(cond, matched) if ok_expr is None else ok_expr.when(cond, matched)
+        branch_ts = F.when(matched, ts) if ts is not None else F.lit(None).cast("timestamp")
+        ts_expr = F.when(cond, branch_ts) if ts_expr is None else ts_expr.when(cond, branch_ts)
+
+    fields_expr = fields_expr.otherwise(base)
+    ok_expr = ok_expr.otherwise(F.lit(False))
+    prev_ts = F.col(time_col) if time_col in df.columns else F.lit(None).cast("timestamp")
+    ts_expr = ts_expr.otherwise(prev_ts)
+    return (
+        df.withColumn(fields_col, fields_expr)
+        .withColumn(P.PARSE_OK, ok_expr)
+        .withColumn(time_col, ts_expr)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Default flagship pipeline config (SURVEY.md §7.1 minimum end-to-end slice)
+# ---------------------------------------------------------------------------
+
+NGINX_REGEX = (
+    r'([^ ]*) ([^ ]*) ([^ ]*) \[([^\]]*)\] "(\S+) ([^"]*) (\S*)" '
+    r'([^ ]*) ([^ ]*) "([^"]*)" "([^"]*)"'
+)
+NGINX_KEYS = (
+    "ip",
+    "ident",
+    "auth",
+    "timestamp",
+    "method",
+    "request",
+    "http_version",
+    "response_code",
+    "bytes",
+    "referrer",
+    "user_agent",
+)
+DELIM_KEYS = ("ip", "time", "method", "url", "status", "bytes")
+
+DEFAULT_PARSERS: dict[str, ParserSpec] = {
+    "nginx": ParserSpec(kind="regex", regex=NGINX_REGEX, keys=NGINX_KEYS),
+    "apsara": ParserSpec(kind="apsara"),
+    "json": ParserSpec(kind="json"),
+    "delimiter": ParserSpec(kind="delimiter", keys=DELIM_KEYS, separator="|", allow_shortened=True),
+    "kv": ParserSpec(kind="kv"),
+}
+
+# FIXTURES.md §4 routing table (aggregator_logstore_router semantics)
+DEFAULT_ROUTES = [
+    RouteRule("nginx", "sink_nginx"),
+    RouteRule("apsara", "sink_apsara"),
+    RouteRule("json|delimiter", "sink_structured"),
+]
+
+
+def build_pipeline(
+    df: DataFrame,
+    parsers: dict[str, ParserSpec] | None = None,
+    routes: list[RouteRule] | None = None,
+    default_sink: str | None = "sink_default",
+    route_on_parse_fail: str | None = None,
+) -> DataFrame:
+    """decode → parse(by source) → route. ``tokens`` is carried untouched.
+
+    ``route_on_parse_fail`` overrides the route for rows whose parse failed
+    (e.g. send malformed lines to a quarantine sink).
+    """
+    parsers = DEFAULT_PARSERS if parsers is None else parsers
+    routes = DEFAULT_ROUTES if routes is None else routes
+    out = with_content(df)
+    out = parse_by_source(out, parsers)
+    out = route_rows(out, routes, source_key="source", default_sink=default_sink)
+    if route_on_parse_fail is not None:
+        out = out.withColumn(
+            "route", F.when(~F.col(P.PARSE_OK), F.lit(route_on_parse_fail)).otherwise(F.col("route"))
+        )
+    return out

@@ -1,0 +1,79 @@
+"""Sources & sinks.
+
+* ``read_sequences``  — the input_file / input_static_file analog: batch read of
+  the tokenized-sequence table (Iceberg in production; parquet here — the code
+  path is identical, ``format`` is a parameter).
+* ``write_fanout``    — the Router + flusher fan-out
+  (core/collection_pipeline/route/Router.cpp:50-82 and
+  core/plugin/flusher/*): one filtered write per sink over a persisted routed
+  DataFrame (a row may go to >1 sink, so partitionBy is wrong — SURVEY.md §7.4);
+  sink-affinity repartition on the salted key before each write.
+* ``write_routed_partitioned`` — fast path when sinks are DISJOINT (pure
+  row-level routing): single pass, ``partitionBy(route)``.
+
+Iceberg notes: on a real cluster, swap ``format('parquet')`` for
+``writeTo(table).append()`` on an Iceberg catalog — the snapshot commit is the
+prepare/commit of the reference's exactly-once checkpoints
+(core/file_server/checkpoint/RangeCheckpoint.h:27-49); see checkpoint.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.aggregate import salted_repartition
+from ..operators.route import SinkCondition, fan_out
+
+
+def read_sequences(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    return spark.read.format(fmt).load(path)
+
+
+def write_routed_partitioned(
+    routed: DataFrame,
+    out_dir: str,
+    route_col: str = "route",
+    num_partitions: int | None = None,
+    salt_buckets: int = 64,
+) -> None:
+    """Disjoint-sink fast path: one shuffle, one write, sinks = directories.
+
+    The salted repartition keeps one hot source from serializing the shuffle;
+    maxRecordsPerFile bounds file size (the Batcher/FlushStrategy analog,
+    core/collection_pipeline/batch/FlushStrategy.h:31-104).
+    """
+    df = routed
+    if num_partitions:
+        df = salted_repartition(df, num_partitions, salt_buckets)
+    (
+        df.write.mode("overwrite")
+        .option("maxRecordsPerFile", 1_000_000)
+        .partitionBy(route_col)
+        .parquet(out_dir)
+    )
+
+
+def write_fanout(
+    routed: DataFrame,
+    out_dir: str,
+    conditions: list[SinkCondition],
+    fmt: str = "parquet",
+) -> dict[str, str]:
+    """Multi-sink duplication writer: persist once, one filtered write per sink.
+
+    Caching the routed plan means the parse stage runs once, not once per sink
+    (SURVEY.md §7.4 'Multi-sink duplication').
+    """
+    routed = routed.persist()
+    try:
+        paths: dict[str, str] = {}
+        for sink, df in fan_out(routed, conditions).items():
+            path = os.path.join(out_dir, sink)
+            df.write.mode("overwrite").format(fmt).save(path)
+            paths[sink] = path
+        return paths
+    finally:
+        routed.unpersist()

@@ -1,0 +1,109 @@
+"""End-to-end flagship pipeline vs the pure-Python oracle (FIXTURES.md §5):
+per-sink counts, per-sink sum(n_tok), and exact routed (doc_id, tokens) sets —
+the north-rule correctness contract (token-array equality per routed row).
+"""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from loongcollector_spark import oracle
+from loongcollector_spark.plans.pipeline import (
+    DELIM_KEYS,
+    NGINX_KEYS,
+    NGINX_REGEX,
+    build_pipeline,
+)
+
+
+def _oracle_rows(seq_path):
+    t = pq.read_table(seq_path)
+    rows = list(
+        zip(
+            t["doc_id"].to_pylist(),
+            t["tokens"].to_pylist(),
+            t["n_tok"].to_pylist(),
+            t["source"].to_pylist(),
+        )
+    )
+    return oracle.run_pipeline(rows, NGINX_REGEX, list(NGINX_KEYS), list(DELIM_KEYS))
+
+
+def test_pipeline_matches_oracle(spark, seq_df, seq_path):
+    expected = _oracle_rows(seq_path)
+    exp_counts = Counter(r["route"] for r in expected)
+    exp_tok_sum = defaultdict(int)
+    exp_docs = defaultdict(set)
+    exp_tokens = {}
+    for r in expected:
+        exp_tok_sum[r["route"]] += r["n_tok"]
+        exp_docs[r["route"]].add(r["doc_id"])
+        exp_tokens[r["doc_id"]] = tuple(r["tokens"])
+
+    routed = build_pipeline(seq_df)
+    got = routed.select("doc_id", "tokens", "n_tok", "route").collect()
+
+    got_counts = Counter(r["route"] for r in got)
+    assert got_counts == exp_counts, f"per-sink counts differ: {got_counts} vs {exp_counts}"
+
+    got_tok_sum = defaultdict(int)
+    got_docs = defaultdict(set)
+    for r in got:
+        got_tok_sum[r["route"]] += r["n_tok"]
+        got_docs[r["route"]].add(r["doc_id"])
+        # per-row token-array equality: tokens carried untouched
+        assert tuple(r["tokens"]) == exp_tokens[r["doc_id"]], f"tokens mutated for {r['doc_id']}"
+    assert dict(got_tok_sum) == dict(exp_tok_sum)
+    assert {k: v for k, v in got_docs.items()} == {k: v for k, v in exp_docs.items()}
+
+
+def test_parsed_fields_match_oracle(spark, seq_df, seq_path):
+    """Field-level equality on every row (not just routing)."""
+    expected = {r["doc_id"]: r for r in _oracle_rows(seq_path)}
+    routed = build_pipeline(seq_df)
+    got = routed.select("doc_id", "fields", "_parse_ok").collect()
+    assert len(got) == len(expected)
+    mismatches = []
+    for r in got:
+        exp = expected[r["doc_id"]]
+        if r["_parse_ok"] != exp["parse_ok"]:
+            mismatches.append((r["doc_id"], "parse_ok", r["_parse_ok"], exp["parse_ok"]))
+        elif dict(r["fields"]) != exp["fields"]:
+            mismatches.append((r["doc_id"], "fields", dict(r["fields"]), exp["fields"]))
+    assert not mismatches, f"{len(mismatches)} mismatches; first 3: {mismatches[:3]}"
+
+
+def test_sink_counts_aggregate(spark, seq_df, seq_path):
+    from loongcollector_spark.operators.aggregate import sink_counts
+
+    expected = _oracle_rows(seq_path)
+    exp = Counter(r["route"] for r in expected)
+    routed = build_pipeline(seq_df)
+    got = {r["route"]: r["n_rows"] for r in sink_counts(routed).collect()}
+    assert got == dict(exp)
+
+
+def test_multi_sink_duplication(spark, seq_df, tmp_path):
+    """Router.cpp:50-82: an always-match audit sink receives a COPY of every row
+    while conditional sinks receive their subsets."""
+    from loongcollector_spark.operators.route import SinkCondition
+    from loongcollector_spark.sources.io import write_fanout
+
+    routed = build_pipeline(seq_df)
+    total = routed.count()
+    conditions = [
+        SinkCondition(sink="audit", type="always"),
+        SinkCondition(sink="nginx_only", type="route", value="sink_nginx"),
+    ]
+    paths = write_fanout(routed, str(tmp_path), conditions)
+    audit = spark.read.parquet(paths["audit"])
+    nginx_only = spark.read.parquet(paths["nginx_only"])
+    assert audit.count() == total
+    assert nginx_only.count() == routed.filter(F.col("route") == "sink_nginx").count()
+    # duplication: audit ∩ nginx_only is the full nginx set
+    assert (
+        audit.join(nginx_only, "doc_id", "inner").count() == nginx_only.count()
+    )
