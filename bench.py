@@ -1,0 +1,157 @@
+#!/usr/bin/env python
+"""bench.py — headline throughput benchmark for the driver.
+
+Runs:
+  1. The flagship token pipeline (decode → per-source parse → route → salted
+     repartition → per-sink counts) over the deterministic synthetic
+     tokenized-sequence table sized to the SF of ``$SPARK_GRAFT_SF_DIR``
+     (sf0.1 → 600k sequences), reporting sequences/sec and tokens/sec — the
+     BASELINE.json metric.
+  2. Every ``__spark_entry__.queries()`` entry at ``$SPARK_GRAFT_SF_DIR``
+     (default /root/testdata/sf0.1), each fully materialized via the noop sink
+     (no driver collect cost).
+  3. Scaling evidence (north rule ≥0.8 efficiency between N and 4N executors):
+     the flagship pipeline re-run in fresh subprocess JVMs at local[8] and
+     local[32]; efficiency = rate_32 / (4 × rate_8). Skip with
+     SPARK_GRAFT_SCALING=0.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+   "sf": ..., "pipeline": {...}, "scaling": {...}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SEQ_ROWS_PER_SF = 6_000_000  # sf0.1 → 600k sequences (~55 MB of payload)
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.1
+
+
+def _noop_write(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def run_flagship(spark, n_rows: int) -> dict:
+    """Time the full parse→route→aggregate pipeline; return rates."""
+    from loongcollector_spark.operators.aggregate import salted_repartition, sink_counts
+    from loongcollector_spark.plans.pipeline import build_pipeline
+    from loongcollector_spark.sources.io import read_sequences
+    from loongcollector_spark.synth import ensure_sequences
+
+    path = ensure_sequences(n_rows)
+    df = read_sequences(spark, path)
+    t0 = time.monotonic()
+    routed = build_pipeline(df)
+    routed = salted_repartition(routed, spark.sparkContext.defaultParallelism * 2)
+    counts = sink_counts(routed).collect()
+    elapsed = time.monotonic() - t0
+    n_seq = sum(r["n_rows"] for r in counts)
+    n_tok = sum(r["n_tok_sum"] for r in counts)
+    return {
+        "sec": round(elapsed, 3),
+        "n_seq": n_seq,
+        "n_tok": int(n_tok),
+        "seqs_per_sec": round(n_seq / elapsed, 1),
+        "toks_per_sec": round(n_tok / elapsed, 1),
+        "mb_per_sec": round(n_tok / elapsed / 1e6, 2),  # 1 token == 1 byte
+    }
+
+
+def _pipeline_only(cpus: int, n_rows: int) -> None:
+    """Subprocess worker: run the flagship at local[cpus], print rate JSON."""
+    from loongcollector_spark.session import get_spark
+
+    spark = get_spark(app_name=f"bench-scale-{cpus}", cpus=cpus)
+    spark.range(1000).selectExpr("sum(id)").collect()  # JVM/codegen warmup
+    run_flagship(spark, n_rows)  # warm run: parquet cache + UDF import
+    res = run_flagship(spark, n_rows)
+    print("SCALERESULT " + json.dumps(res))
+    spark.stop()
+
+
+def measure_scaling(n_rows: int, lo: int = 8, hi: int = 32) -> dict:
+    rates = {}
+    for cpus in (lo, hi):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--pipeline-only", str(cpus), str(n_rows)],
+            capture_output=True, text=True, timeout=1800,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        line = next(
+            (ln for ln in proc.stdout.splitlines() if ln.startswith("SCALERESULT ")), None
+        )
+        if line is None:
+            sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-2000:])
+            raise RuntimeError(f"scaling run at local[{cpus}] failed")
+        rates[cpus] = json.loads(line[len("SCALERESULT "):])
+    eff = rates[hi]["seqs_per_sec"] / ((hi / lo) * rates[lo]["seqs_per_sec"])
+    return {
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "seqs_per_sec_lo": rates[lo]["seqs_per_sec"],
+        "seqs_per_sec_hi": rates[hi]["seqs_per_sec"],
+        "toks_per_sec_lo": rates[lo]["toks_per_sec"],
+        "toks_per_sec_hi": rates[hi]["toks_per_sec"],
+        "efficiency": round(eff, 3),
+    }
+
+
+def main() -> None:
+    if len(sys.argv) >= 2 and sys.argv[1] == "--pipeline-only":
+        _pipeline_only(int(sys.argv[2]), int(sys.argv[3]))
+        return
+
+    import __spark_entry__ as entry
+    from loongcollector_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = _sf_from_dir(sf_dir)
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_rows = max(1000, int(SEQ_ROWS_PER_SF * sf))
+
+    spark = get_spark(app_name="bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    pipeline = run_flagship(spark, n_rows)
+
+    query_secs: dict[str, float] = {}
+    total = pipeline["sec"]
+    for name, fn in entry.queries().items():
+        t0 = time.monotonic()
+        _noop_write(fn(spark, sf_dir))
+        dt = time.monotonic() - t0
+        query_secs[name] = round(dt, 3)
+        total += dt
+
+    scaling = None
+    if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
+        spark.stop()  # free the JVM before the subprocess runs
+        scaling = measure_scaling(n_rows)
+
+    out = {
+        "metric": "parse_route_aggregate_total_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {"flagship_pipeline": pipeline["sec"], **query_secs},
+        "sf": sf,
+        "pipeline": pipeline,
+        "scaling": scaling,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
