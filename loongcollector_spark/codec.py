@@ -1,26 +1,77 @@
 """Token <-> string codec.
 
-Tokens are byte values (bijective byte-level tokenization, FIXTURES.md §1). Two
-decode paths:
+Tokens are byte values (bijective byte-level tokenization, FIXTURES.md §1).
+Decode paths, fastest first:
 
-* ``decode_tokens_native`` — pure Catalyst expression (whole-stage codegen, zero
-  Python): valid when payloads are ASCII (token == codepoint), which the synth
-  guarantees. This is the hot path at 100 TB — no JVM↔Python Arrow hop at all.
-* ``decode_tokens_pandas`` — Arrow-batched pandas UDF handling arbitrary UTF-8
-  byte sequences (the general case; the reference treats payloads as raw bytes,
-  core/models/RawEvent.h).
+* ``decode_arrow`` (DEFAULT) — ``mapInArrow`` over RecordBatches, fully
+  vectorized in C: the list<int32> values buffer is cast to uint8 and a string
+  array is rebuilt over the SAME offsets — no per-row Python, no pandas
+  conversion. Handles arbitrary UTF-8. This is the north-rule
+  "vectorized pandas/Arrow UDF" decode stage.
+* ``decode_tokens_native`` — pure Catalyst expression (``transform`` + ``char``):
+  zero Python hop, valid when payloads are ASCII (token == codepoint). Slower
+  per row than the Arrow path (per-element lambda interpretation) but keeps the
+  whole plan JVM-side; useful when a stage must stay codegen-only.
+* ``decode_tokens_pandas`` — Arrow-batched pandas UDF with per-row
+  ``bytes.decode`` (general fallback; the reference treats payloads as raw
+  bytes, core/models/RawEvent.h).
 
-Both are tested to agree on ASCII inputs. Encode (string → tokens) exists for
+All are tested to agree on ASCII inputs. Encode (string → tokens) exists for
 round-trip verification of the per-row token-array-equality invariant.
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import pandas as pd
-from pyspark.sql import Column
+import pyarrow as pa
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql import types as T
+
+
+def _decode_batch_column(col: pa.Array) -> pa.Array:
+    """list<int*> byte-token column → string column, arrow-vectorized.
+
+    The flattened values are cast int32→uint8 (one SIMD pass), reinterpreted as
+    the data buffer of a BinaryArray sharing the list's offsets, then cast to
+    utf8. Cost is O(bytes) memcpy-level — no Python per row or per token.
+    """
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = col.cast(pa.list_(pa.uint8()))
+    # Normalize a possibly-sliced/offset list array so offsets align with values.
+    if col.offset != 0:
+        col = pa.concat_arrays([col])
+    values = col.values.cast(pa.uint8())
+    binary = pa.Array.from_buffers(
+        pa.binary(),
+        len(col),
+        [col.buffers()[0], col.buffers()[1], values.buffers()[1]],
+    )
+    return binary.cast(pa.string())
+
+
+def decode_arrow(
+    df: DataFrame, tokens_col: str = "tokens", out: str = "content"
+) -> DataFrame:
+    """Attach ``out`` = utf8(bytes(tokens)) via one mapInArrow hop.
+
+    ``tokens`` passes through untouched (per-row token-array-equality
+    invariant); all other columns are carried as-is.
+    """
+    idx = len(df.columns)
+    # StructType.add mutates in place — build a fresh schema instead.
+    schema = T.StructType(list(df.schema.fields) + [T.StructField(out, T.StringType())])
+
+    def _decode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            decoded = _decode_batch_column(b.column(tokens_col))
+            yield b.add_column(idx, out, decoded)
+
+    return df.mapInArrow(_decode, schema)
 
 
 def decode_tokens_native(tokens: Column | str) -> Column:
@@ -45,7 +96,15 @@ def encode_string_pandas(s: pd.Series) -> pd.Series:
     return s.map(lambda v: list(v.encode("utf-8")) if v is not None else None)
 
 
-def with_content(df, tokens_col: str = "tokens", out: str = "content", ascii_only: bool = True):
+def with_content(
+    df,
+    tokens_col: str = "tokens",
+    out: str = "content",
+    method: str = "arrow",  # arrow | native | pandas
+):
     """Attach the decoded payload column, keeping ``tokens`` untouched."""
-    dec = decode_tokens_native(tokens_col) if ascii_only else decode_tokens_pandas(F.col(tokens_col))
-    return df.withColumn(out, dec)
+    if method == "arrow":
+        return decode_arrow(df, tokens_col, out)
+    if method == "native":
+        return df.withColumn(out, decode_tokens_native(tokens_col))
+    return df.withColumn(out, decode_tokens_pandas(F.col(tokens_col)))
