@@ -44,19 +44,34 @@ def _noop_write(df) -> None:
 
 
 def run_flagship(spark, n_rows: int) -> dict:
-    """Time the full parse→route→aggregate pipeline; return rates."""
-    from loongcollector_spark.operators.aggregate import salted_repartition, sink_counts
+    """Time the full parse→route→fan-out-write→aggregate pipeline.
+
+    The sink WRITE is part of the measured job — without it Catalyst prunes the
+    unused ``fields`` column and the entire parse stage disappears from the
+    plan. Counts are computed from the written sinks (read-back prunes to
+    route + n_tok), which also validates sink contents.
+    """
+    import shutil
+    import tempfile
+
+    from loongcollector_spark.operators.aggregate import sink_counts
     from loongcollector_spark.plans.pipeline import build_pipeline
-    from loongcollector_spark.sources.io import read_sequences
+    from loongcollector_spark.sources.io import read_sequences, write_routed_partitioned
     from loongcollector_spark.synth import ensure_sequences
 
     path = ensure_sequences(n_rows)
     df = read_sequences(spark, path)
-    t0 = time.monotonic()
-    routed = build_pipeline(df)
-    routed = salted_repartition(routed, spark.sparkContext.defaultParallelism * 2)
-    counts = sink_counts(routed).collect()
-    elapsed = time.monotonic() - t0
+    out_dir = tempfile.mkdtemp(prefix="bench_sinks_")
+    try:
+        t0 = time.monotonic()
+        routed = build_pipeline(df)
+        write_routed_partitioned(
+            routed, out_dir, num_partitions=spark.sparkContext.defaultParallelism * 2
+        )
+        counts = sink_counts(spark.read.parquet(out_dir)).collect()
+        elapsed = time.monotonic() - t0
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
     n_seq = sum(r["n_rows"] for r in counts)
     n_tok = sum(r["n_tok_sum"] for r in counts)
     return {
@@ -75,27 +90,34 @@ def _pipeline_only(cpus: int, n_rows: int) -> None:
 
     spark = get_spark(app_name=f"bench-scale-{cpus}", cpus=cpus)
     spark.range(1000).selectExpr("sum(id)").collect()  # JVM/codegen warmup
-    run_flagship(spark, n_rows)  # warm run: parquet cache + UDF import
-    res = run_flagship(spark, n_rows)
+    run_flagship(spark, n_rows)  # warm run: parquet cache + python worker spawn
+    res = min((run_flagship(spark, n_rows) for _ in range(2)), key=lambda r: r["sec"])
     print("SCALERESULT " + json.dumps(res))
     spark.stop()
 
 
+def _scale_worker(cpus: int, n_rows: int) -> dict:
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--pipeline-only", str(cpus), str(n_rows)],
+        capture_output=True, text=True, timeout=1800,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    line = next((ln for ln in proc.stdout.splitlines() if ln.startswith("SCALERESULT ")), None)
+    if line is None:
+        sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-2000:])
+        raise RuntimeError(f"scaling run at local[{cpus}] failed")
+    return json.loads(line[len("SCALERESULT "):])
+
+
 def measure_scaling(n_rows: int, lo: int = 8, hi: int = 32) -> dict:
-    rates = {}
-    for cpus in (lo, hi):
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--pipeline-only", str(cpus), str(n_rows)],
-            capture_output=True, text=True, timeout=1800,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        )
-        line = next(
-            (ln for ln in proc.stdout.splitlines() if ln.startswith("SCALERESULT ")), None
-        )
-        if line is None:
-            sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-2000:])
-            raise RuntimeError(f"scaling run at local[{cpus}] failed")
-        rates[cpus] = json.loads(line[len("SCALERESULT "):])
+    # Interleave lo/hi runs (fresh JVM each) and take the best per level — the
+    # sandbox host's CPU delivery fluctuates minute-to-minute, so consecutive
+    # blocks would bias the ratio.
+    rates: dict[int, dict] = {}
+    for cpus in (lo, hi, lo, hi):
+        res = _scale_worker(cpus, n_rows)
+        if cpus not in rates or res["seqs_per_sec"] > rates[cpus]["seqs_per_sec"]:
+            rates[cpus] = res
     eff = rates[hi]["seqs_per_sec"] / ((hi / lo) * rates[lo]["seqs_per_sec"])
     return {
         "cpus_lo": lo,
@@ -139,7 +161,10 @@ def main() -> None:
     scaling = None
     if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
         spark.stop()  # free the JVM before the subprocess runs
-        scaling = measure_scaling(n_rows)
+        # 4× the headline rows so compute dominates fixed overheads — the
+        # north-rule criterion is same-input throughput at N vs 4N cores.
+        scale_rows = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", str(n_rows * 4)))
+        scaling = measure_scaling(scale_rows)
 
     out = {
         "metric": "parse_route_aggregate_total_sec",

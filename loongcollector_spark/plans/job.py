@@ -1,0 +1,96 @@
+"""End-to-end checkpointed batch job: the ``CollectionPipeline::Process`` +
+``Router::Route`` + flusher-commit lifecycle (SURVEY.md §3.1) as one resumable
+Spark job.
+
+    read sequences → decode (Arrow) → parse (per-source CASE) → route
+      → [per-sink stage: filter → salted repartition → parquet commit]
+      → counts stage (per-sink rows + token bytes)
+
+Each sink is its own committed stage (one Iceberg-snapshot analog per flusher);
+re-running with the same ``run_id`` skips committed sinks — the kill/rerun
+contract ("a killed run resumes from the last committed snapshot without
+reprocessing"). The routed plan is persisted once so N sink writes don't
+recompute the parse stage N times (SURVEY.md §7.4 multi-sink duplication;
+Router.cpp:50-82 semantics allow a row in >1 sink).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from ..checkpoint import ResumableRun, partition_lineage
+from ..operators.aggregate import salted_repartition, sink_counts
+from ..operators.route import RouteRule, SinkCondition, fan_out
+from ..sources.io import read_sequences
+from .pipeline import ParserSpec, build_pipeline
+
+
+def _write_sink(df: DataFrame, path: str, num_partitions: int, keep_tokens: bool) -> None:
+    if not keep_tokens and "tokens" in df.columns and "content" in df.columns:
+        df = df.drop("tokens")
+    out = salted_repartition(df, num_partitions) if num_partitions else df
+    out.write.mode("overwrite").option("maxRecordsPerFile", 1_000_000).parquet(path)
+
+
+def run_job(
+    spark: SparkSession,
+    input_path: str,
+    out_root: str,
+    run_id: str,
+    parsers: dict[str, ParserSpec] | None = None,
+    routes: list[RouteRule] | None = None,
+    conditions: list[SinkCondition] | None = None,
+    default_sink: str | None = "sink_default",
+    num_partitions: int | None = None,
+    keep_tokens: bool = False,
+) -> dict:
+    """Run (or resume) the flagship pipeline. Returns
+    ``{"run_id", "sinks": {name: path}, "counts": {name: {n_rows, n_tok_sum}},
+    "executed": [stage...]}`` — ``executed`` is empty on a fully-resumed run.
+    """
+    num_partitions = num_partitions or spark.sparkContext.defaultParallelism * 2
+    run = ResumableRun(spark, out_root, run_id)
+
+    routed = build_pipeline(read_sequences(spark, input_path), parsers, routes, default_sink)
+    routed = routed.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        # Per-sink counts + input-side partition lineage in one cached pass.
+        counts_rows = sink_counts(routed).collect()
+        counts = {
+            r["route"]: {"n_rows": r["n_rows"], "n_tok_sum": int(r["n_tok_sum"])}
+            for r in counts_rows
+        }
+
+        if conditions is None:
+            sink_dfs = {
+                name: routed.filter(F.col("route") == F.lit(name)) for name in sorted(counts)
+            }
+        else:
+            sink_dfs = fan_out(routed, conditions)
+
+        sinks: dict[str, str] = {}
+        for name, df in sink_dfs.items():
+            def _fn(inprog: str, df=df, name=name):
+                _write_sink(df, inprog, num_partitions, keep_tokens)
+                c = counts.get(name, {"n_rows": 0, "n_tok_sum": 0})
+                return c["n_rows"], c["n_tok_sum"], None  # file lineage derived
+
+            sinks[name] = run.stage(f"sink_{name}", _fn)
+
+        def _counts_fn(inprog: str):
+            cdf = spark.createDataFrame(
+                [(k, v["n_rows"], v["n_tok_sum"]) for k, v in sorted(counts.items())],
+                "route string, n_rows long, n_tok_sum long",
+            )
+            cdf.coalesce(1).write.mode("overwrite").parquet(inprog)
+            total_rows = sum(v["n_rows"] for v in counts.values())
+            total_tok = sum(v["n_tok_sum"] for v in counts.values())
+            return total_rows, total_tok, partition_lineage(routed)
+
+        run.stage("counts", _counts_fn)
+    finally:
+        routed.unpersist()
+
+    return {"run_id": run.run_id, "sinks": sinks, "counts": counts, "executed": run.executed}

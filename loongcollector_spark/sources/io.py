@@ -38,14 +38,24 @@ def write_routed_partitioned(
     route_col: str = "route",
     num_partitions: int | None = None,
     salt_buckets: int = 64,
+    keep_tokens: bool = False,
 ) -> None:
     """Disjoint-sink fast path: one shuffle, one write, sinks = directories.
 
     The salted repartition keeps one hot source from serializing the shuffle;
     maxRecordsPerFile bounds file size (the Batcher/FlushStrategy analog,
     core/collection_pipeline/batch/FlushStrategy.h:31-104).
+
+    Payload at the sink is the ``content`` string — byte-for-byte the token
+    payload (the codec is bijective, tokens are bytes), so routed-row
+    token-array equality stays exactly verifiable via re-encode while the sink
+    avoids parquet-encoding every token as an int32 (4× byte inflation,
+    measured 8× slower write). ``keep_tokens=True`` stores the raw int32 array
+    too.
     """
     df = routed
+    if not keep_tokens and "tokens" in df.columns and "content" in df.columns:
+        df = df.drop("tokens")
     if num_partitions:
         df = salted_repartition(df, num_partitions, salt_buckets)
     (
