@@ -21,17 +21,29 @@ on success the source key is removed unless ``keep_source_on_success`` keeps the
 raw under ``renamed_source_key``; on failure the raw is kept
 (``keep_source_on_fail``) or the event is **dropped**.
 
-Architecture: each parser exposes an EXPRESSION-LEVEL builder
-(``*_exprs(src) -> (parsed_map, matched[, ts])``) plus a thin DataFrame wrapper.
-The expression form lets the pipeline compiler dispatch different parsers per
-``source`` inside ONE lazy CASE projection — a single scan of the input table,
-each row evaluating only its own parser (CASE branches are lazy), no union and
-no repeated IO at 100 TB.
+Architecture — the "masked slice" scheme. Benchmarks on this Spark build show
+two expression-level cliffs (measured at 2.4M rows, local[32]):
 
-Everything here is a native Catalyst expression (whole-stage codegen, zero
-Python in the hot path). The regex parser uses a single-pass packing trick —
-``regexp_replace(line, anchored, "$1\\x01$2…")`` + ``split`` — so each row costs
-two regex evaluations total instead of one per capture key.
+  * ``when()/CASE`` whose BRANCH VALUES are complex-typed (map/array/struct)
+    cost ~5× the map construction itself (when-on-primitive is free);
+  * higher-order lambdas (``map_filter``, ``filter``, ``transform`` with
+    regex or even null-checks) run interpreted per element (~4µs/entry/row).
+
+So every parser here builds its output map exactly ONCE per row via
+``map_from_arrays``/``map_from_entries`` over arrays whose LENGTHS are the only
+conditionals (``slice(arr, 1, when(cond, n).otherwise(0))`` — when-on-int).
+Parse-fail fallback entries and CommonParserOptions policies are 0/1-length
+sliced entry arrays, and per-source dispatch (plans/pipeline.py) is a
+``map_concat`` of per-source masked maps — no when-on-map anywhere on the hot
+path.
+
+Each parser exposes an expression-level builder
+``*_fields(src, ..., opts, enabled) -> (fields_map, ok[, ts])`` where
+``enabled`` masks the parser to an empty map on rows of other sources, plus a
+thin DataFrame wrapper. Everything is native Catalyst (whole-stage codegen,
+zero Python in the hot path); the regex parser uses a single-pass packing trick
+— ``regexp_replace(line, anchored, "$1\\x01$2…")`` + ``split`` — so each row
+costs ONE regex evaluation (match success is detected from the split arity).
 """
 
 from __future__ import annotations
@@ -43,16 +55,49 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Field separator for the packed-capture trick. \x01 never appears in valid
-# UTF-8 log payloads produced by the synth (ASCII printable + \t).
+# log payloads produced by the synth (ASCII printable + \t). A payload that
+# does contain \x01 inside a matching line would split into extra parts and be
+# treated as a parse failure (documented deviation; sanitize upstream if real
+# data may contain \x01).
 _SEP = "\x01"
 
 PARSE_OK = "_parse_ok"  # transient bookkeeping column, dropped by finalize
 
-EMPTY_MAP = "cast(map() as map<string,string>)"
+_MAP_T = "map<string,string>"
+_ENTRY_T = "array<struct<key:string,value:string>>"
 
 
 def _empty_map() -> Column:
-    return F.create_map().cast("map<string,string>")
+    return F.create_map().cast(_MAP_T)
+
+
+def _empty_entries() -> Column:
+    return F.expr(f"cast(array() as {_ENTRY_T})")
+
+
+def _n01(cond: Column) -> Column:
+    """boolean → 0/1 int (the only conditional shape that stays cheap)."""
+    return F.when(cond, F.lit(1)).otherwise(F.lit(0))
+
+
+def _mask_len(n: Column | int, cond: Column) -> Column:
+    n = F.lit(n) if isinstance(n, int) else n
+    return F.when(cond, n).otherwise(F.lit(0))
+
+
+def _opt_entry(key: Column | str, val: Column, present: Column) -> Column:
+    """array<struct<key,value>> of length 0 or 1 — a conditional map entry
+    without when-on-complex."""
+    k = F.lit(key) if isinstance(key, str) else key
+    return F.slice(
+        F.array(F.struct(k.alias("key"), val.alias("value"))), 1, _n01(present)
+    )
+
+
+def _entries_map(*entry_arrays: Column) -> Column:
+    """Concat 0/1-length entry arrays into one map."""
+    arr = entry_arrays[0] if len(entry_arrays) == 1 else F.concat(*entry_arrays)
+    return F.coalesce(F.map_from_entries(arr), _empty_map())
 
 
 @dataclass(frozen=True)
@@ -65,47 +110,26 @@ class ParserOptions:
     copy_raw_on_fail_key: str = "__raw_log__"
 
 
-def _ensure_fields(df: DataFrame, fields_col: str) -> DataFrame:
-    if fields_col not in df.columns:
-        df = df.withColumn(fields_col, _empty_map())
-    return df
-
-
-def apply_parser_options(
-    parsed_map: Column,
-    matched: Column,
-    raw: Column,
-    base: Column,
-    opts: ParserOptions,
-) -> Column:
-    """fields-map expression under CommonParserOptions keep policy
-    (CommonParserOptions.cpp:91-117). Row-drop for ``keep_source_on_fail=False``
-    is applied by the DataFrame wrapper (ShouldEraseEvent)."""
-    on_ok = F.map_concat(base, parsed_map)
-    if opts.keep_source_on_success:
-        on_ok = F.map_concat(on_ok, F.create_map(F.lit(opts.renamed_source_key), raw))
+def _policy_entries(src: Column, ok: Column, enabled: Column | None, opts: ParserOptions) -> list[Column]:
+    """CommonParserOptions keep-raw entries (CommonParserOptions.cpp:91-117) as
+    masked 0/1 entry arrays."""
+    en = F.lit(True) if enabled is None else enabled
+    out = []
     if opts.keep_source_on_fail:
-        on_fail = F.map_concat(base, F.create_map(F.lit(opts.copy_raw_on_fail_key), raw))
-    else:
-        on_fail = base
-    return F.when(matched, on_ok).otherwise(on_fail)
+        out.append(_opt_entry(opts.copy_raw_on_fail_key, src, en & ~ok))
+    if opts.keep_source_on_success:
+        out.append(_opt_entry(opts.renamed_source_key, src, en & ok))
+    return out
 
 
-def _wrap(
-    df: DataFrame,
-    parsed_map: Column,
-    matched: Column,
-    source_col: str,
-    fields_col: str,
-    opts: ParserOptions,
+def _finalize_fields(
+    df: DataFrame, fields_map: Column, ok: Column, fields_col: str, opts: ParserOptions
 ) -> DataFrame:
-    df = _ensure_fields(df, fields_col)
-    base = F.coalesce(F.col(fields_col), _empty_map())
-    out = df.withColumn(
-        fields_col, apply_parser_options(parsed_map, matched, F.col(source_col), base, opts)
-    ).withColumn(PARSE_OK, matched)
+    if fields_col in df.columns:
+        fields_map = F.map_concat(F.coalesce(F.col(fields_col), _empty_map()), fields_map)
+    out = df.withColumn(fields_col, fields_map).withColumn(PARSE_OK, ok)
     if not opts.keep_source_on_fail:
-        out = out.filter(matched)  # ShouldEraseEvent → drop unparseable rows
+        out = out.filter(F.col(PARSE_OK))  # ShouldEraseEvent → drop unparseable rows
     return out
 
 
@@ -123,23 +147,48 @@ def anchor_full_match(regex: str) -> str:
     return regex
 
 
-def regex_exprs(src: Column, regex: str, keys: list[str]) -> tuple[Column, Column]:
-    """(parsed_map, matched) for full-line regex capture parse.
+def regex_fields(
+    src: Column,
+    regex: str,
+    keys: list[str],
+    opts: ParserOptions = ParserOptions(),
+    enabled: Column | None = None,
+) -> tuple[Column, Column]:
+    """(fields_map, ok) for full-line regex capture parse.
 
-    Single regex pass via the packing trick; ``(.*)`` short-circuits to a plain
-    copy (ProcessorParseRegexNative.cpp:68,147-148)."""
-    if regex in ("(.*)", "^(.*)$") and len(keys) == 1:
-        return F.create_map(F.lit(keys[0]), src), src.isNotNull()
+    One regex pass: the anchored pattern is rewritten to ``$1\\x01$2…`` and
+    split; a successful whole-line match yields exactly len(keys) parts (a
+    non-match leaves the line unchanged → 1 part). ``(.*)`` short-circuits to a
+    plain copy (ProcessorParseRegexNative.cpp:68,147-148)."""
+    en = F.lit(True) if enabled is None else enabled
+    gated = src if enabled is None else F.when(en, src)  # other sources skip the regex
+    n = len(keys)
+    if regex in ("(.*)", "^(.*)$") and n == 1:
+        ok = src.isNotNull()
+        m = _entries_map(_opt_entry(keys[0], src, en & ok), *_policy_entries(src, ok, en, opts))
+        return m, ok
     anchored = anchor_full_match(regex)
-    matched = src.rlike(anchored)
-    repl = _SEP.join(f"${i + 1}" for i in range(len(keys)))
-    packed = F.regexp_replace(src, anchored, repl)
-    arr = F.split(packed, _SEP, -1)
-    parsed = F.map_from_arrays(
-        F.array(*[F.lit(k) for k in keys]),
-        F.array(*[F.try_element_at(arr, F.lit(i + 1)) for i in range(len(keys))]),
+    if n == 1:
+        # arity can't distinguish match from non-match for a single key
+        ok = gated.rlike(anchored)
+        val = F.regexp_extract(gated, anchored, 1)
+        m = _entries_map(
+            _opt_entry(keys[0], val, en & F.coalesce(ok, F.lit(False))),
+            *_policy_entries(src, F.coalesce(ok, F.lit(False)), en, opts),
+        )
+        return m, ok
+    repl = _SEP.join(f"${i + 1}" for i in range(n))
+    arr = F.split(F.regexp_replace(gated, anchored, repl), _SEP, -1)
+    ok = F.size(arr) == F.lit(n)
+    karr = F.array(*[F.lit(k) for k in keys])
+    ln = _mask_len(n, en & F.coalesce(ok, F.lit(False)))
+    parsed = F.coalesce(
+        F.map_from_arrays(F.slice(karr, 1, ln), F.slice(arr, 1, ln)), _empty_map()
     )
-    return parsed, matched
+    pol = _policy_entries(src, F.coalesce(ok, F.lit(False)), en, opts)
+    if pol:
+        parsed = F.map_concat(parsed, _entries_map(*pol))
+    return parsed, ok
 
 
 def parse_regex(
@@ -150,24 +199,35 @@ def parse_regex(
     fields_col: str = "fields",
     opts: ParserOptions = ParserOptions(),
 ) -> DataFrame:
-    parsed, matched = regex_exprs(F.col(source_col), regex, keys)
-    return _wrap(df, parsed, matched, source_col, fields_col, opts)
+    m, ok = regex_fields(F.col(source_col), regex, list(keys), opts)
+    return _finalize_fields(df, m, ok, fields_col, opts)
 
 
 # ---------------------------------------------------------------------------
 # json (processor_parse_json_native)
 # ---------------------------------------------------------------------------
 
-def json_exprs(src: Column) -> tuple[Column, Column]:
-    """(parsed_map, matched): top-level members → string fields; nested values
-    stay serialized JSON (ProcessorParseJsonNative.cpp:186-200); non-object /
+def json_fields(
+    src: Column,
+    opts: ParserOptions = ParserOptions(),
+    enabled: Column | None = None,
+) -> tuple[Column, Column]:
+    """(fields_map, ok): top-level members → string fields; nested values stay
+    serialized JSON (ProcessorParseJsonNative.cpp:186-200); non-object /
     malformed → failure (.cpp:167-181).
 
-    Known deviation: numeric leaves are stringified by Java shortest-repr, which
-    uses E-notation for |x| < 1e-3 or >= 1e7 ("2.0E-4") where rapidjson prints
-    plain ("0.0002"); identical within the plain-notation range."""
-    parsed = F.from_json(src, "map<string,string>")
-    return F.coalesce(parsed, _empty_map()), parsed.isNotNull()
+    Known deviation: numeric leaves are stringified by Java shortest-repr,
+    which uses E-notation for |x| < 1e-3 or >= 1e7 ("2.0E-4") where rapidjson
+    prints plain ("0.0002"); identical within the plain-notation range."""
+    en = F.lit(True) if enabled is None else enabled
+    gated = src if enabled is None else F.when(en, src)  # when-on-string: cheap
+    parsed = F.from_json(gated, _MAP_T)
+    ok = parsed.isNotNull()
+    m = F.coalesce(parsed, _empty_map())
+    pol = _policy_entries(src, ok, en, opts)
+    if pol:
+        m = F.map_concat(m, _entries_map(*pol))
+    return m, ok
 
 
 def parse_json(
@@ -176,71 +236,90 @@ def parse_json(
     fields_col: str = "fields",
     opts: ParserOptions = ParserOptions(),
 ) -> DataFrame:
-    parsed, matched = json_exprs(F.col(source_col))
-    return _wrap(df, parsed, matched, source_col, fields_col, opts)
+    m, ok = json_fields(F.col(source_col), opts)
+    return _finalize_fields(df, m, ok, fields_col, opts)
 
 
 # ---------------------------------------------------------------------------
 # delimiter (processor_parse_delimiter_native)
 # ---------------------------------------------------------------------------
 
-def delimiter_exprs(
+def delimiter_fields(
     src: Column,
     keys: list[str],
     separator: str = "|",
     overflow: str = "extend",  # extend | keep | discard
     allow_shortened: bool = False,
     max_extend_cols: int = 8,
+    opts: ParserOptions = ParserOptions(),
+    enabled: Column | None = None,
 ) -> tuple[Column, Column]:
-    """(parsed_map, matched). Overflow policies
+    """(fields_map, ok). Overflow policies
     (ProcessorParseDelimiterNative.cpp:258-338): ``extend`` → ``__column{N}__``
     extra keys; ``keep`` → remainder glued into ``__column{len(keys)}__``;
     short rows only when ``allow_shortened`` (.cpp:285). Fields are trimmed
     (.cpp:226-242)."""
+    en = F.lit(True) if enabled is None else enabled
+    gated = src if enabled is None else F.when(en, src)
     n = len(keys)
-    arr = F.split(src, _re.escape(separator), -1)
+    arr = F.split(gated, _re.escape(separator), -1)
     sz = F.size(arr)
-    base_keys = [F.lit(k) for k in keys]
-    base_vals = [F.trim(F.try_element_at(arr, F.lit(i + 1))) for i in range(n)]
-    matched = sz >= F.lit(1) if allow_shortened else sz >= F.lit(n)
+    ok = sz >= F.lit(1) if allow_shortened else sz >= F.lit(n)
+    ok_t = F.coalesce(ok, F.lit(False))
 
-    avail = F.least(sz, F.lit(n))
-    short_map = F.map_from_arrays(
-        F.slice(F.array(*base_keys), 1, avail), F.slice(F.array(*base_vals), 1, avail)
+    karr = F.array(*[F.lit(k) for k in keys])
+    varr = F.array(*[F.trim(F.try_element_at(arr, F.lit(i + 1))) for i in range(n)])
+    avail = F.when(en & ok_t, F.least(sz, F.lit(n))).otherwise(F.lit(0))
+    parsed = F.coalesce(
+        F.map_from_arrays(F.slice(karr, 1, avail), F.slice(varr, 1, avail)), _empty_map()
     )
+
+    extras: list[Column] = []
     if overflow == "extend":
-        extra_keys = [F.lit(f"__column{n + j}__") for j in range(max_extend_cols)]
-        extra_vals = [F.trim(F.try_element_at(arr, F.lit(n + j + 1))) for j in range(max_extend_cols)]
-        extra_cnt = F.least(F.greatest(sz - F.lit(n), F.lit(0)), F.lit(max_extend_cols))
-        over_map = F.map_concat(
-            short_map,
-            F.map_from_arrays(
-                F.slice(F.array(*extra_keys), 1, extra_cnt), F.slice(F.array(*extra_vals), 1, extra_cnt)
+        ekarr = F.array(*[F.lit(f"__column{n + j}__") for j in range(max_extend_cols)])
+        evarr = F.array(
+            *[F.trim(F.try_element_at(arr, F.lit(n + j + 1))) for j in range(max_extend_cols)]
+        )
+        ecnt = F.when(
+            en & ok_t, F.least(F.greatest(sz - F.lit(n), F.lit(0)), F.lit(max_extend_cols))
+        ).otherwise(F.lit(0))
+        parsed = F.map_concat(
+            parsed,
+            F.coalesce(
+                F.map_from_arrays(F.slice(ekarr, 1, ecnt), F.slice(evarr, 1, ecnt)), _empty_map()
             ),
         )
     elif overflow == "keep":
-        glued = F.array_join(F.slice(arr, n + 1, F.greatest(sz - F.lit(n), F.lit(0))), separator)
-        over_map = F.map_concat(short_map, F.create_map(F.lit(f"__column{n}__"), glued))
-    else:
-        over_map = short_map
-    parsed = F.when(sz > F.lit(n), over_map).otherwise(short_map)
-    return parsed, matched
+        glued = F.array_join(
+            F.slice(arr, n + 1, F.greatest(sz - F.lit(n), F.lit(0))), separator
+        )
+        extras.append(_opt_entry(f"__column{n}__", glued, en & ok_t & (sz > F.lit(n))))
+
+    extras.extend(_policy_entries(src, ok_t, en, opts))
+    if extras:
+        parsed = F.map_concat(parsed, _entries_map(*extras))
+    return parsed, ok
 
 
-def csv_exprs(src: Column, keys: list[str], separator: str, quote: str) -> tuple[Column, Column]:
-    """Quoted delimiter mode via from_csv (FSM semantics, .cpp:251-256).
-    Also serves processor_csv (plugins/processor/csv/processor_csv.go:30)."""
+def csv_fields(
+    src: Column,
+    keys: list[str],
+    separator: str,
+    quote: str,
+    opts: ParserOptions = ParserOptions(),
+    enabled: Column | None = None,
+) -> tuple[Column, Column]:
+    """Quoted delimiter mode via from_csv (FSM semantics,
+    ProcessorParseDelimiterNative.cpp:251-256). Also serves processor_csv
+    (plugins/processor/csv/processor_csv.go:30)."""
+    en = F.lit(True) if enabled is None else enabled
+    gated = src if enabled is None else F.when(en, src)
     schema = ", ".join(f"`{k}` string" for k in keys)
-    parsed_struct = F.from_csv(src, schema, {"sep": separator, "quote": quote})
-    parsed = F.map_filter(
-        F.map_from_arrays(
-            F.array(*[F.lit(k) for k in keys]),
-            F.array(*[parsed_struct[k] for k in keys]),
-        ),
-        lambda _, v: v.isNotNull(),
-    )
-    matched = parsed_struct.isNotNull() & parsed_struct[keys[0]].isNotNull()
-    return parsed, matched
+    st = F.from_csv(gated, schema, {"sep": separator, "quote": quote})
+    ok = st.isNotNull() & st[keys[0]].isNotNull()
+    entries = [_opt_entry(k, st[k], en & st[k].isNotNull()) for k in keys]
+    entries.extend(_policy_entries(src, ok, en, opts))
+    return _entries_map(*entries), ok
 
 
 def parse_delimiter(
@@ -256,46 +335,53 @@ def parse_delimiter(
     opts: ParserOptions = ParserOptions(),
 ) -> DataFrame:
     if quote:
-        parsed, matched = csv_exprs(F.col(source_col), keys, separator, quote)
+        m, ok = csv_fields(F.col(source_col), list(keys), separator, quote, opts)
     else:
-        parsed, matched = delimiter_exprs(
-            F.col(source_col), keys, separator, overflow, allow_shortened, max_extend_cols
+        m, ok = delimiter_fields(
+            F.col(source_col), list(keys), separator, overflow, allow_shortened,
+            max_extend_cols, opts,
         )
-    return _wrap(df, parsed, matched, source_col, fields_col, opts)
+    return _finalize_fields(df, m, ok, fields_col, opts)
 
 
 # ---------------------------------------------------------------------------
 # apsara (processor_parse_apsara_native)
 # ---------------------------------------------------------------------------
 
-def apsara_exprs(src: Column) -> tuple[Column, Column, Column]:
-    """(parsed_map, matched, event_ts) for Apsara format
+def apsara_fields(
+    src: Column,
+    opts: ParserOptions = ParserOptions(),
+    enabled: Column | None = None,
+) -> tuple[Column, Column, Column]:
+    """(fields_map, ok, event_ts) for Apsara format
     ``[time]\\t[LEVEL]\\t[thread]\\t[file:line]\\tk:v…``.
 
     Positional ``[...]`` base fields classified by charset
-    (ProcessorParseApsaraNative.cpp:433-463): all-caps → __LEVEL__, all-digits →
-    __THREAD__, contains ``/``/``.`` → __FILE__ + __LINE__ (split on the LAST
-    colon). Tab-separated ``k:v`` tail appended; ``microtime`` emitted
-    (.cpp:226-232). Fully native array filter/transform over the tab-split line.
-    """
-    parts = F.split(src, "\t", -1)
+    (ProcessorParseApsaraNative.cpp:433-463): all-caps → __LEVEL__, all-digits
+    → __THREAD__, contains ``/`` or both ``.`` and ``:`` → __FILE__ +
+    __LINE__ (split on the LAST colon). Tab-separated ``k:v`` tail appended;
+    ``microtime`` emitted (.cpp:226-232)."""
+    en = F.lit(True) if enabled is None else enabled
+    gated = src if enabled is None else F.when(en, src)  # nulls propagate below
+    parts = F.split(gated, "\t", -1)
     head = F.element_at(parts, 1)
     time_str = F.regexp_extract(head, r"^\[([^\]]*)\]$", 1)
-    matched = time_str != F.lit("")
+    matched = time_str.isNotNull() & (time_str != F.lit(""))
 
     rest = F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0)))
     # Bracket test via cheap string predicates (NOT regex — regex inside a HOF
-    # lambda is re-evaluated interpreted per element and measured ~50× slower).
+    # lambda runs interpreted per element, measured ~50× slower).
     def _is_br(p: Column) -> Column:
         return p.startswith("[") & p.endswith("]")
 
-    # All bracketed blocks re-joined into one string; each classifier is then a
-    # single JVM regex pass over that string (first match == reference's
-    # first-matching-block rule, .cpp:433-463).
+    # All bracketed blocks re-joined; each classifier is then ONE JVM regex
+    # pass over that string (first match == first-matching-block rule).
     brs = F.array_join(F.filter(rest, _is_br), "\t")
-    kv_map = F.str_to_map(
-        F.array_join(F.filter(rest, lambda p: ~_is_br(p)), "\t"), F.lit("\t"), F.lit(":")
-    )
+    kv_tail = F.array_join(F.filter(rest, lambda p: ~_is_br(p)), "\t")
+    # gate on match + non-empty tail: str_to_map('') would emit a {'': null}
+    # entry, and failed rows must carry only the raw-keep policy entry
+    kv_gated = F.when(matched & (kv_tail != F.lit("")), kv_tail)
+    kv_map = F.coalesce(F.str_to_map(kv_gated, F.lit("\t"), F.lit(":")), _empty_map())
     level = F.nullif(F.regexp_extract(brs, r"\[([A-Z]+)\]", 1), F.lit(""))
     thread = F.nullif(F.regexp_extract(brs, r"\[(\d+)\]", 1), F.lit(""))
     # contains '/', or contains both '.' and ':' (either order) — lookaheads
@@ -310,31 +396,22 @@ def apsara_exprs(src: Column) -> tuple[Column, Column, Column]:
 
     is_epoch = time_str.rlike(r"^\d+$")
     ts = F.when(is_epoch, F.to_timestamp(F.from_unixtime(time_str.cast("long")))).otherwise(
-        F.to_timestamp(time_str)
+        F.try_to_timestamp(time_str)  # null (not ANSI error) on malformed — entries eval eagerly
     )
     microtime = F.when(is_epoch, (time_str.cast("long") * F.lit(1000000)).cast("string")).otherwise(
         F.unix_micros(ts).cast("string")
     )
-    base_map = F.map_filter(
-        F.map_from_arrays(
-            F.array(
-                F.lit("microtime"),
-                F.lit("__LEVEL__"),
-                F.lit("__THREAD__"),
-                F.lit("__FILE__"),
-                F.lit("__LINE__"),
-            ),
-            F.array(
-                microtime,
-                level,
-                thread,
-                F.when(fileline.isNotNull(), file_path),
-                F.when(fileline.isNotNull(), line_no),
-            ),
-        ),
-        lambda _, v: v.isNotNull(),
+
+    on = en & matched
+    base = _entries_map(
+        _opt_entry("microtime", microtime, on & microtime.isNotNull()),
+        _opt_entry("__LEVEL__", level, on & level.isNotNull()),
+        _opt_entry("__THREAD__", thread, on & thread.isNotNull()),
+        _opt_entry("__FILE__", file_path, on & fileline.isNotNull()),
+        _opt_entry("__LINE__", line_no, on & fileline.isNotNull()),
+        *_policy_entries(src, matched, en, opts),
     )
-    return F.map_concat(base_map, kv_map), matched, ts
+    return F.map_concat(base, kv_map), matched, ts
 
 
 def parse_apsara(
@@ -344,12 +421,10 @@ def parse_apsara(
     time_col: str = "event_time",
     opts: ParserOptions = ParserOptions(),
 ) -> DataFrame:
-    df = _ensure_fields(df, fields_col)
-    parsed, matched, ts = apsara_exprs(F.col(source_col))
-    had_time = time_col in df.columns
-    prev_ts = F.col(time_col) if had_time else F.lit(None).cast("timestamp")
-    out = _wrap(df, parsed, matched, source_col, fields_col, opts)
-    return out.withColumn(time_col, F.when(matched, ts).otherwise(prev_ts))
+    m, ok, ts = apsara_fields(F.col(source_col), opts)
+    prev_ts = F.col(time_col) if time_col in df.columns else F.lit(None).cast("timestamp")
+    out = _finalize_fields(df, m, ok, fields_col, opts)
+    return out.withColumn(time_col, F.when(ok, ts).otherwise(prev_ts))
 
 
 # ---------------------------------------------------------------------------
@@ -369,7 +444,7 @@ def parse_timestamp(
     events older than ilogtail_discard_interval
     (ProcessorParseTimestampNative.cpp:125-171)."""
     src = F.col(fields_col)[source_key] if source_is_field else F.col(source_key)
-    ts = F.to_timestamp(src, fmt)
+    ts = F.try_to_timestamp(src, F.lit(fmt))
     prev = F.col(time_col) if time_col in df.columns else F.lit(None).cast("timestamp")
     out = df.withColumn(time_col, F.coalesce(ts, prev))
     if discard_before is not None:
@@ -381,19 +456,27 @@ def parse_timestamp(
 # key/value split (processor_split_key_value)
 # ---------------------------------------------------------------------------
 
-def kv_exprs(src: Column, delimiter: str = "\t", separator: str = ":") -> tuple[Column, Column]:
-    """(parsed_map, matched). Anomaly synth keys
+def kv_fields(
+    src: Column,
+    delimiter: str = "\t",
+    separator: str = ":",
+    enabled: Column | None = None,
+) -> tuple[Column, Column]:
+    """(fields_map, ok). Anomaly synth keys
     (key_value_splitter.go:26-52,98): empty key → ``empty_key_{N}``, token
     without separator → ``no_separator_key_{N}``, N counting anomalies of that
-    kind so far in the event — computed natively with an ``aggregate`` fold
-    threading two counters through the token array."""
-    toks = F.split(src, _re.escape(delimiter), -1)
+    kind so far in the event — computed with an ``aggregate`` fold threading
+    two counters through the token array (HOF; acceptable — runs only on rows
+    of this source thanks to input gating)."""
+    en = F.lit(True) if enabled is None else enabled
+    gated = src if enabled is None else F.when(en, src)
+    toks = F.split(gated, _re.escape(delimiter), -1)
     fold = F.aggregate(
         toks,
         F.struct(
             F.lit(0).alias("ek"),
             F.lit(0).alias("nk"),
-            F.expr("cast(array() as array<struct<key:string,value:string>>)").alias("entries"),
+            F.expr(f"cast(array() as {_ENTRY_T})").alias("entries"),
         ),
         lambda acc, t: F.when(
             ~t.contains(separator),
@@ -446,7 +529,7 @@ def kv_exprs(src: Column, delimiter: str = "\t", separator: str = ":") -> tuple[
             )
         ),
     )
-    return F.map_from_entries(fold["entries"]), src.isNotNull()
+    return F.coalesce(F.map_from_entries(fold["entries"]), _empty_map()), src.isNotNull()
 
 
 def split_key_value(
@@ -456,11 +539,10 @@ def split_key_value(
     source_col: str = "content",
     fields_col: str = "fields",
 ) -> DataFrame:
-    df = _ensure_fields(df, fields_col)
-    parsed, matched = kv_exprs(F.col(source_col), delimiter, separator)
-    return df.withColumn(
-        fields_col, F.map_concat(F.coalesce(F.col(fields_col), _empty_map()), parsed)
-    ).withColumn(PARSE_OK, matched)
+    parsed, matched = kv_fields(F.col(source_col), delimiter, separator)
+    if fields_col in df.columns:
+        parsed = F.map_concat(F.coalesce(F.col(fields_col), _empty_map()), parsed)
+    return df.withColumn(fields_col, parsed).withColumn(PARSE_OK, matched)
 
 
 def finalize(df: DataFrame) -> DataFrame:

@@ -40,24 +40,31 @@ class ParserSpec:
     opts: P.ParserOptions = field(default_factory=P.ParserOptions)
 
 
-def _branch_exprs(spec: ParserSpec, src: Column) -> tuple[Column, Column, Column | None]:
-    """(parsed_map, matched, event_ts|None) for one parser spec."""
+def _branch_fields(
+    spec: ParserSpec, src: Column, enabled: Column
+) -> tuple[Column, Column, Column | None]:
+    """(masked_fields_map, matched, event_ts|None) for one parser spec.
+
+    The map is EMPTY on rows where ``enabled`` is false, and each parser gates
+    its input string on ``enabled`` so the expensive work (regex, json parse)
+    runs only on its own source's rows."""
     if spec.kind == "regex":
-        m, ok = P.regex_exprs(src, spec.regex, list(spec.keys))
+        m, ok = P.regex_fields(src, spec.regex, list(spec.keys), spec.opts, enabled)
         return m, ok, None
     if spec.kind == "json":
-        m, ok = P.json_exprs(src)
+        m, ok = P.json_fields(src, spec.opts, enabled)
         return m, ok, None
     if spec.kind == "delimiter":
-        m, ok = P.delimiter_exprs(
-            src, list(spec.keys), spec.separator, spec.overflow, spec.allow_shortened
+        m, ok = P.delimiter_fields(
+            src, list(spec.keys), spec.separator, spec.overflow, spec.allow_shortened,
+            opts=spec.opts, enabled=enabled,
         )
         return m, ok, None
     if spec.kind == "apsara":
-        m, ok, ts = P.apsara_exprs(src)
+        m, ok, ts = P.apsara_fields(src, spec.opts, enabled)
         return m, ok, ts
     if spec.kind == "kv":
-        m, ok = P.kv_exprs(src, spec.kv_delimiter, spec.kv_separator)
+        m, ok = P.kv_fields(src, spec.kv_delimiter, spec.kv_separator, enabled)
         return m, ok, None
     raise ValueError(f"unknown parser kind {spec.kind!r}")
 
@@ -72,29 +79,33 @@ def parse_by_source(
 ) -> DataFrame:
     """Dispatch parsers per source value in one projection (single scan).
 
+    The fields map is a ``map_concat`` of per-source MASKED maps (empty for
+    rows of other sources) — NOT a when/otherwise chain: CASE with map-typed
+    branches costs ~5× the map construction itself (see operators/parse.py
+    module docstring). Conditionals stay on primitives (source equality, slice
+    lengths); per-parser input gating keeps each regex/json evaluation on its
+    own source's rows only.
+
     Rows whose source has no configured parser keep an empty fields map and
     ``_parse_ok = false`` (they still flow — routing decides their sink).
     """
     src = F.col(content_col)
     empty = F.create_map().cast("map<string,string>")
-    base = F.coalesce(F.col(fields_col), empty) if fields_col in df.columns else empty
+    base = F.coalesce(F.col(fields_col), empty) if fields_col in df.columns else None
 
-    fields_expr: Column | None = None
+    maps: list[Column] = [] if base is None else [base]
     ok_expr: Column | None = None
     ts_expr: Column | None = None
     for source_val, spec in parsers.items():
         cond = F.col(source_col) == F.lit(source_val)
-        parsed, matched, ts = _branch_exprs(spec, src)
-        branch_fields = P.apply_parser_options(parsed, matched, src, base, spec.opts)
-        fields_expr = (
-            F.when(cond, branch_fields) if fields_expr is None else fields_expr.when(cond, branch_fields)
-        )
+        parsed, matched, ts = _branch_fields(spec, src, cond)
+        maps.append(parsed)
         ok_expr = F.when(cond, matched) if ok_expr is None else ok_expr.when(cond, matched)
         branch_ts = F.when(matched, ts) if ts is not None else F.lit(None).cast("timestamp")
         ts_expr = F.when(cond, branch_ts) if ts_expr is None else ts_expr.when(cond, branch_ts)
 
-    fields_expr = fields_expr.otherwise(base)
-    ok_expr = ok_expr.otherwise(F.lit(False))
+    fields_expr = maps[0] if len(maps) == 1 else F.map_concat(*maps)
+    ok_expr = F.coalesce(ok_expr.otherwise(F.lit(False)), F.lit(False))
     prev_ts = F.col(time_col) if time_col in df.columns else F.lit(None).cast("timestamp")
     ts_expr = ts_expr.otherwise(prev_ts)
     return (
