@@ -225,6 +225,184 @@ def q_base64(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Transform parity ops (rename/add/append/pick/drop/pack/replace/anchor/gotime/
+# fields_with_condition/log_to_metric/base64-decode/key-regex filter)
+# ---------------------------------------------------------------------------
+
+def _cust_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "customer").withColumn(
+        "fields",
+        F.create_map(
+            F.lit("name"), F.col("c_name"),
+            F.lit("segment"), F.col("c_mktsegment"),
+            F.lit("bal"), F.col("c_acctbal").cast("string"),
+        ),
+    )
+
+
+def q_rename_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loongcollector_spark.operators.enrich import rename_keys
+
+    out = rename_keys(_cust_fields(spark, sf_dir), ["name", "segment"], ["customer_name", "mkt"])
+    return out.select(
+        "c_custkey",
+        F.col("fields")["customer_name"].alias("customer_name"),
+        F.col("fields")["mkt"].alias("mkt"),
+        F.col("fields")["name"].alias("old_name"),
+    )
+
+
+def q_add_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loongcollector_spark.operators.enrich import add_fields
+
+    out = add_fields(_cust_fields(spark, sf_dir), {"env": "prod", "dc": "us-east"})
+    return out.select(
+        "c_custkey", F.col("fields")["env"].alias("env"), F.col("fields")["dc"].alias("dc")
+    )
+
+
+def q_appender(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loongcollector_spark.operators.enrich import appender
+
+    out = appender(_cust_fields(spark, sf_dir), "name", "|suffix")
+    return out.select("c_custkey", F.col("fields")["name"].alias("name2"))
+
+
+def q_pick_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loongcollector_spark.operators.filters import pick_keys
+
+    out = pick_keys(_cust_fields(spark, sf_dir), include=["name", "bal"])
+    return out.select(
+        "c_custkey",
+        F.size("fields").alias("n_keys"),
+        F.col("fields")["name"].alias("name"),
+        F.col("fields")["segment"].alias("segment_gone"),
+    )
+
+
+def q_drop_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loongcollector_spark.operators.filters import drop_keys
+
+    out = drop_keys(_cust_fields(spark, sf_dir), ["bal"])
+    return out.select(
+        "c_custkey", F.size("fields").alias("n_keys"), F.col("fields")["bal"].alias("bal_gone")
+    )
+
+
+def q_drop_last_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loongcollector_spark.operators.filters import drop_last_key
+
+    out = drop_last_key(_cust_fields(spark, sf_dir), "name", include=["segment", "bal"])
+    return out.select("c_custkey", F.size("fields").alias("n_keys"))
+
+
+def q_pack_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loongcollector_spark.operators.enrich import pack_json
+
+    out = pack_json(_cust_fields(spark, sf_dir), ["name", "segment"], "packed")
+    return out.select("c_custkey", F.col("fields")["packed"].alias("packed"))
+
+
+def q_string_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loongcollector_spark.operators.enrich import string_replace
+
+    out = string_replace(_cust_fields(spark, sf_dir), "name", "regex", r"Customer#0*", "C")
+    return out.select("c_custkey", F.col("fields")["name"].alias("short_name"))
+
+
+def q_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loongcollector_spark.operators.enrich import anchor
+
+    p = _t(spark, sf_dir, "part")
+    out = anchor(
+        p.withColumn("content", F.concat(F.lit("type="), F.col("p_type"), F.lit(";brand="), F.col("p_brand"), F.lit(";"))),
+        [
+            {"start": "type=", "stop": ";", "field": "atype"},
+            {"start": "brand=", "stop": ";", "field": "abrand"},
+        ],
+    )
+    return out.select(
+        "p_partkey", F.col("fields")["atype"].alias("atype"), F.col("fields")["abrand"].alias("abrand")
+    )
+
+
+def q_gotime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loongcollector_spark.operators.enrich import gotime
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "fields", F.create_map(F.lit("od"), F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"))
+    )
+    out = gotime(o, "od", "yyyy-MM-dd HH:mm:ss", "od_fmt", "dd/MM/yyyy", set_time=False)
+    return out.select("o_orderkey", F.col("fields")["od_fmt"].alias("od_fmt"))
+
+
+def q_fields_with_condition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loongcollector_spark.operators.filters import fields_with_condition
+
+    cases = [
+        {"condition": {"segment": "BUILDING"}, "add_fields": {"tier": "b"}, "drop_keys": ["bal"]},
+        {"condition": {"segment": "MACHINERY"}, "add_fields": {"tier": "m"}},
+    ]
+    out = fields_with_condition(_cust_fields(spark, sf_dir), cases)
+    return out.select(
+        "c_custkey",
+        F.col("fields")["tier"].alias("tier"),
+        F.col("fields")["bal"].alias("bal_maybe"),
+    )
+
+
+def q_filter_key_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loongcollector_spark.operators.filters import filter_key_regex
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "fields", F.from_json(F.col("props"), "map<string,string>")
+    )
+    out = filter_key_regex(e, include=["^k$"], exclude=["^secret"])
+    return out.select("event_id")
+
+
+def q_log_to_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loongcollector_spark.operators.enrich import log_to_metric
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "fields",
+        F.create_map(
+            F.lit("cpu"), F.round(F.col("value"), 4).cast("string"),
+            F.lit("host"), F.concat(F.lit("h"), (F.col("user_id") % 10).cast("string")),
+        ),
+    )
+    out = log_to_metric(e, {"cpu_usage": "cpu"}, label_keys=["host"])
+    return out.select(
+        "event_id",
+        F.col("__name__").alias("metric_name"),
+        F.col("__value__").alias("metric_value"),
+        F.col("__labels__").alias("labels"),
+    )
+
+
+def q_base64_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    enc = p.withColumn("fields", F.create_map(F.lit("b64"), F.base64(F.col("p_type").cast("binary"))))
+    from loongcollector_spark.operators.enrich import base64_field
+
+    out = base64_field(enc, "b64", "decoded", decode=True)
+    return out.select("p_partkey", F.col("fields")["decoded"].alias("decoded"))
+
+
+def q_desensitize_md5_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5-mode desensitize (pandas UDF with hash-callback re.sub) — digits
+    runs in c_phone are replaced by their md5. Oracle-less (callback replace
+    is not SQL-expressible); covered by unit tests."""
+    from loongcollector_spark.operators.enrich import desensitize_md5
+
+    c = _t(spark, sf_dir, "customer").withColumn(
+        "fields", F.create_map(F.lit("phone"), F.col("c_phone"))
+    )
+    out = desensitize_md5(c, "phone", r"\d{4,}")
+    return out.select("c_custkey", F.col("fields")["phone"].alias("redacted_phone"))
+
+
+# ---------------------------------------------------------------------------
 # Dedup / text stats / similarity (training-data pipeline ops)
 # ---------------------------------------------------------------------------
 
@@ -280,6 +458,155 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 10)
         .select("query_id", F.col("vec_id").alias("neighbor_id"), F.round("cos", 6).alias("cos6"), "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data ops v2: normalized dedup, ngram/charset jaccard, minhash-LSH,
+# simhash, embedding near-dup, language-ID, quality, fingerprint, BPE count
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loongcollector_spark.operators.dedup import exact_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    out = exact_dedup(d, id_col="doc_id")
+    return out.select(
+        F.length("dup_key").alias("key_len"), F.col("rep_id").alias("rep_doc_id"), "dup_cnt"
+    )
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loongcollector_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, n=2, threshold=0.3)
+
+
+def q_charset_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loongcollector_spark.operators.dedup import charset_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return charset_jaccard_pairs(d, block_col="lang", threshold=0.9)
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (rows-only check: Spark xxhash64 has no
+    DuckDB twin; exact-Jaccard verification makes output hash-independent for
+    pairs that are found, but candidate recall depends on the hash family)."""
+    from loongcollector_spark.operators.dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, num_hashes=32, bands=16, n=2, threshold=0.3)
+
+
+def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (rows-only: FNV/bit votes not SQL-expressible)."""
+    from loongcollector_spark.operators.dedup import simhash_dup_pairs
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    return simhash_dup_pairs(d, max_hamming=7)
+
+
+def q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loongcollector_spark.operators.dedup import embedding_dup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_dup_pairs(e, threshold=0.4)
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loongcollector_spark.operators.text import language_id
+
+    d = _t(spark, sf_dir, "documents")
+    return language_id(d).select("doc_id", "lang_pred")
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loongcollector_spark.operators.text import quality_score
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = quality_score(d)
+    return out.select(
+        "doc_id", "n_words", "mean_word_len", "punct_ratio", "stopword_ratio", "quality"
+    )
+
+
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loongcollector_spark.operators.text import token_count
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return token_count(d).select("doc_id", "n_ws_tokens", "n_bpe_tokens")
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loongcollector_spark.operators.text import fingerprint
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return fingerprint(d).select("doc_id", "fp_md5", "fp64")
+
+
+# ---------------------------------------------------------------------------
+# Grok / JSON flatten / windowed agg
+# ---------------------------------------------------------------------------
+
+GROK_PATTERN = "%{WORD:w1} %{NOTSPACE:w2} %{GREEDYDATA:rest}"
+
+
+def q_grok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loongcollector_spark.operators.grok import parse_grok
+
+    d = _t(spark, sf_dir, "documents")
+    out = parse_grok(d, [GROK_PATTERN], source_col="text", full_match=True)
+    return out.select(
+        "doc_id",
+        F.col("fields")["w1"].alias("w1"),
+        F.col("fields")["w2"].alias("w2"),
+        F.length(F.col("fields")["rest"]).alias("rest_len"),
+    )
+
+
+def q_json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loongcollector_spark.operators.parse import json_flatten
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    j = F.concat(
+        F.lit('{"a": {"b": '), F.col("l_orderkey").cast("string"),
+        F.lit('}, "c": "'), F.col("l_returnflag"), F.lit('"}'),
+    )
+    out = json_flatten(li.withColumn("content", j))
+    return out.select(
+        "l_orderkey",
+        F.col("fields")["a_b"].alias("a_b"),
+        F.col("fields")["c"].alias("c"),
+    )
+
+
+def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 5-min event-time windows per event_type (the streaming
+    windowed-agg plan, executed on the batch table)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.round(F.sum("value"), 4).alias("value_sum"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_rows", "value_sum")
+    )
+
+
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.03, 0.05))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum((dec("l_extendedprice") * dec("l_discount")).cast("decimal(28,4)")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
     )
 
 
@@ -386,6 +713,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": q_tpch_q3,
         "tpch_q5ish": q_tpch_q5ish,
         "events_sessions": q_events_sessions,
+        # transform parity ops
+        "rename_keys": q_rename_keys,
+        "add_fields": q_add_fields,
+        "appender": q_appender,
+        "pick_keys": q_pick_keys,
+        "drop_keys": q_drop_keys,
+        "drop_last_key": q_drop_last_key,
+        "pack_json": q_pack_json,
+        "string_replace": q_string_replace,
+        "anchor": q_anchor,
+        "gotime": q_gotime,
+        "fields_with_condition": q_fields_with_condition,
+        "filter_key_regex": q_filter_key_regex,
+        "log_to_metric": q_log_to_metric,
+        "base64_decode": q_base64_decode,
+        "desensitize_md5_mode": q_desensitize_md5_mode,
+        # training-data ops v2
+        "dedup_exact_norm": q_dedup_exact_norm,
+        "ngram_jaccard": q_ngram_jaccard,
+        "charset_jaccard": q_charset_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash_dups": q_simhash_dups,
+        "embedding_dups": q_embedding_dups,
+        "language_id": q_language_id,
+        "quality_score": q_quality_score,
+        "token_count_bpe": q_token_count_bpe,
+        "fingerprint": q_fingerprint,
+        # grok / flatten / window / q6
+        "grok": q_grok,
+        "json_flatten": q_json_flatten,
+        "windowed_counts": q_windowed_counts,
+        "tpch_q6": q_tpch_q6,
     }
 
 
@@ -396,7 +755,184 @@ def oracle_sql() -> dict[str, str]:
         "else 'sink_default' end"
     )
     rev = "cast(cast(l_extendedprice as decimal(18,2)) * (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2))) as decimal(28,4))"
+
+    from loongcollector_spark.operators.grok import compile_grok
+    from loongcollector_spark.operators.text import STOPWORDS, BPE_ISH
+
+    grok_rx = compile_grok([GROK_PATTERN], full_match=True)[0][0]
+    grok_anch = "^" + grok_rx + "$"
+    sw = {lang: "[" + ", ".join(f"'{w}'" for w in ws) + "]" for lang, ws in STOPWORDS.items()}
+    norm = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+    words = r"string_split_regex(trim(lower(text)), '\s+')"
+    training = {
+        "dedup_exact_norm": f"""
+            select cast(length(dup_key) as int) as key_len,
+                   min(doc_id) as rep_doc_id, count(*) as dup_cnt
+            from (select {norm} as dup_key, doc_id from documents)
+            group by dup_key
+        """,
+        "ngram_jaccard": f"""
+            with w as (select doc_id, string_split({norm}, ' ') as ws from documents),
+            g as (
+              select distinct doc_id, gram from (
+                select doc_id,
+                       unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) as gram
+                from w)
+            ),
+            sz as (select doc_id, count(*) as sz from g group by 1),
+            inter as (
+              select a.doc_id as ia, b.doc_id as ib, count(*) as n_inter
+              from g a join g b on a.gram = b.gram and a.doc_id < b.doc_id
+              group by 1, 2)
+            select ia as id_a, ib as id_b,
+                   round(n_inter * 1.0 / (sa.sz + sb.sz - n_inter), 6) as jaccard
+            from inter
+            join sz sa on sa.doc_id = ia
+            join sz sb on sb.doc_id = ib
+            where round(n_inter * 1.0 / (sa.sz + sb.sz - n_inter), 6) >= 0.3
+        """,
+        "charset_jaccard": """
+            with ch as (select doc_id, lang, list_distinct(string_split(text, '')) as cs
+                        from documents where doc_id < 200)
+            select a.doc_id as id_a, b.doc_id as id_b,
+                   round(len(list_intersect(a.cs, b.cs)) * 1.0
+                         / len(list_distinct(list_concat(a.cs, b.cs))), 6) as jaccard
+            from ch a join ch b on a.lang = b.lang and a.doc_id < b.doc_id
+            where round(len(list_intersect(a.cs, b.cs)) * 1.0
+                        / len(list_distinct(list_concat(a.cs, b.cs))), 6) >= 0.9
+        """,
+        "embedding_dups": """
+            select a.vec_id as id_a, b.vec_id as id_b,
+                   round(list_cosine_similarity(cast(a.embedding as double[]),
+                                                cast(b.embedding as double[])), 6) as cos
+            from embeddings a join embeddings b on a.vec_id < b.vec_id
+            where round(list_cosine_similarity(cast(a.embedding as double[]),
+                                               cast(b.embedding as double[])), 6) >= 0.4
+        """,
+        "language_id": f"""
+            with s as (
+              select doc_id,
+                     len(list_intersect(list_distinct({words}), {sw['en']})) as s_en,
+                     len(list_intersect(list_distinct({words}), {sw['fr']})) as s_fr,
+                     len(list_intersect(list_distinct({words}), {sw['es']})) as s_es,
+                     len(list_intersect(list_distinct({words}), {sw['de']})) as s_de
+              from documents)
+            select doc_id, case
+              when s_en > 0 and s_en >= s_fr and s_en >= s_es and s_en >= s_de then 'en'
+              when s_fr > 0 and s_fr >= s_en and s_fr >= s_es and s_fr >= s_de then 'fr'
+              when s_es > 0 and s_es >= s_en and s_es >= s_fr and s_es >= s_de then 'es'
+              when s_de > 0 and s_de >= s_en and s_de >= s_fr and s_de >= s_es then 'de'
+              else 'und' end as lang_pred
+            from s
+        """,
+        "quality_score": f"""
+            with ft as (
+              select doc_id,
+                     cast(len({words}) as int) as n_words,
+                     round((length(text) - (len({words}) - 1)) * 1.0
+                           / greatest(len({words}), 1), 6) as mean_word_len,
+                     round(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) * 1.0
+                           / greatest(length(text), 1), 6) as punct_ratio,
+                     round(len(list_filter({words}, w -> list_contains({sw['en']}, w))) * 1.0
+                           / greatest(len({words}), 1), 6) as stopword_ratio
+              from documents)
+            select doc_id, n_words, mean_word_len, punct_ratio, stopword_ratio,
+                   round(least(
+                     0.4 * stopword_ratio * 2.5
+                     + 0.3 * (case when n_words >= 5 and mean_word_len >= 2 and mean_word_len <= 12
+                              then 1.0 else 0.0 end)
+                     + 0.3 * (1.0 - least(punct_ratio * 4, 1.0)), 1.0), 6) as quality
+            from ft
+        """,
+        "token_count_bpe": f"""
+            select doc_id, cast(len({words}) as int) as n_ws_tokens,
+                   cast(len(regexp_extract_all(text, '{BPE_ISH}')) as int) as n_bpe_tokens
+            from documents
+        """,
+        "fingerprint": f"""
+            select doc_id, md5({norm}) as fp_md5,
+                   cast(('0x' || substr(md5({norm}), 1, 15)) as bigint) as fp64
+            from documents
+        """,
+        "grok": f"""
+            select doc_id,
+                   regexp_extract(text, '{grok_anch}', 1) as w1,
+                   regexp_extract(text, '{grok_anch}', 2) as w2,
+                   cast(length(regexp_extract(text, '{grok_anch}', 3)) as int) as rest_len
+            from documents
+        """,
+        "json_flatten": """
+            select l_orderkey, cast(l_orderkey as varchar) as a_b, l_returnflag as c
+            from lineitem where l_linenumber = 1
+        """,
+        "windowed_counts": """
+            select make_timestamp(cast(floor(epoch(ts) / 300) * 300 * 1000000 as bigint)) as window_start,
+                   event_type, count(*) as n_rows, round(sum("value"), 4) as value_sum
+            from events group by 1, 2
+        """,
+        "tpch_q6": """
+            select sum(cast(cast(l_extendedprice as decimal(18,2))
+                        * cast(l_discount as decimal(18,2)) as decimal(28,4))) as revenue,
+                   count(*) as n_rows
+            from lineitem
+            where l_shipdate >= timestamp '1995-01-01' and l_shipdate < timestamp '1996-01-01'
+              and l_discount between 0.03 and 0.05 and l_quantity < 24
+        """,
+    }
+    transforms = {
+        "rename_keys": """
+            select c_custkey, c_name as customer_name, c_mktsegment as mkt,
+                   cast(null as varchar) as old_name
+            from customer
+        """,
+        "add_fields": "select c_custkey, 'prod' as env, 'us-east' as dc from customer",
+        "appender": "select c_custkey, c_name || '|suffix' as name2 from customer",
+        "pick_keys": """
+            select c_custkey, cast(2 as int) as n_keys, c_name as name,
+                   cast(null as varchar) as segment_gone
+            from customer
+        """,
+        "drop_keys": """
+            select c_custkey, cast(2 as int) as n_keys, cast(null as varchar) as bal_gone
+            from customer
+        """,
+        "drop_last_key": "select c_custkey, cast(2 as int) as n_keys from customer",
+        "pack_json": """
+            select c_custkey,
+                   '{"name":"' || c_name || '","segment":"' || c_mktsegment || '"}' as packed
+            from customer
+        """,
+        "string_replace": """
+            select c_custkey, regexp_replace(c_name, 'Customer#0*', 'C', 'g') as short_name
+            from customer
+        """,
+        "anchor": "select p_partkey, p_type as atype, p_brand as abrand from part",
+        "gotime": "select o_orderkey, strftime(o_orderdate, '%d/%m/%Y') as od_fmt from orders",
+        "fields_with_condition": """
+            select c_custkey,
+                   case when c_mktsegment = 'BUILDING' then 'b'
+                        when c_mktsegment = 'MACHINERY' then 'm' end as tier,
+                   case when c_mktsegment = 'BUILDING' then null
+                        else cast(c_acctbal as varchar) end as bal_maybe
+            from customer
+        """,
+        "filter_key_regex": """
+            select event_id from events
+            where len(list_filter(json_keys(props), k -> regexp_matches(k, '^k$'))) > 0
+              and len(list_filter(json_keys(props), k -> regexp_matches(k, '^secret'))) = 0
+        """,
+        "log_to_metric": """
+            select event_id, 'cpu_usage' as metric_name,
+                   cast(round("value", 4) as varchar) as metric_value,
+                   'host#$#h' || cast(user_id % 10 as varchar) as labels
+            from events
+            where regexp_matches(cast(round("value", 4) as varchar), '^-?\\d+(\\.\\d+)?$')
+        """,
+        "base64_decode": "select p_partkey, p_type as decoded from part",
+    }
     return {
+        **training,
+        **transforms,
         "pipeline_route_counts": f"""
             select {route_case} as route, count(*) as n_rows,
                    cast(sum(n_chars) as bigint) as n_chars_sum

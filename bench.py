@@ -161,10 +161,13 @@ def main() -> None:
     scaling = None
     if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
         spark.stop()  # free the JVM before the subprocess runs
-        # 4× the headline rows so compute dominates fixed overheads — the
-        # north-rule criterion is same-input throughput at N vs 4N cores.
-        scale_rows = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", str(n_rows * 4)))
-        scaling = measure_scaling(scale_rows)
+        # 2× the headline rows: enough compute to dominate fixed overheads for
+        # the N-vs-4N criterion while keeping bench wall time bounded.
+        scale_rows = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", str(n_rows * 2)))
+        try:
+            scaling = measure_scaling(scale_rows)
+        except Exception as ex:  # never let scaling kill the headline output
+            scaling = {"error": str(ex)[:200]}
 
     out = {
         "metric": "parse_route_aggregate_total_sec",

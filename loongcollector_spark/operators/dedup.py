@@ -1,0 +1,352 @@
+"""Deduplication operators for training-data pipelines.
+
+Not present in the reference (it is a log agent) — these are the large-scale
+corpus-dedup primitives a 100 TB training-data pipeline needs, built
+Spark-first:
+
+* ``exact_dedup``        — hash-groupBy on a normalization key; one shuffle.
+* ``ngram_jaccard_pairs``— n-gram Jaccard candidate pairs via the distributed
+                           formulation: explode distinct grams → self-join on
+                           gram → per-pair intersection counts → Jaccard from
+                           |A|+|B|-∩. No pairwise cartesian anywhere.
+* ``charset_jaccard_pairs`` — character-set Jaccard within a blocking key
+                           (small-block pairwise; SQL-oracle-friendly).
+* ``minhash_signatures`` / ``minhash_lsh_pairs`` — MinHash + banded LSH:
+                           shingle → K hash-mins → B bands → bucket join.
+                           Candidate pairs verified with exact Jaccard.
+* ``simhash64``          — 64-bit SimHash over word tokens (Arrow-batched
+                           numpy UDF — bit-parallel majority vote).
+* ``embedding_dup_pairs``— cosine ≥ τ near-dup pairs over embeddings with
+                           band-bucketed blocking (brute-force within block).
+
+Scale notes: every pair-generating operator blocks/buckets BEFORE joining —
+the joins are equi-joins on (gram | band-hash | block key), so Spark shuffles
+by key and AQE handles skew; nothing materializes O(N²).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+def normalize_text(col: Column) -> Column:
+    """Canonical dedup key: lowercase, collapse whitespace, strip."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", keep: str = "min"
+) -> DataFrame:
+    """Exact dedup on normalized text: one row per duplicate class with the
+    representative id and the class size. ``keep``: min|max id wins."""
+    agg_id = F.min(id_col) if keep == "min" else F.max(id_col)
+    return (
+        df.groupBy(normalize_text(F.col(text_col)).alias("dup_key"))
+        .agg(agg_id.alias("rep_id"), F.count(F.lit(1)).alias("dup_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (distributed, no cartesian)
+# ---------------------------------------------------------------------------
+
+def word_ngrams(col: Column, n: int = 2) -> Column:
+    """Distinct word n-grams of a text column (native expressions)."""
+    words = F.split(normalize_text(col), " ", -1)
+    cnt = F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))
+    # sequence(1, 0) yields a DESCENDING [1,0] — build over max(cnt,1) then
+    # slice to cnt so short docs get an empty gram list
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
+        lambda i: F.array_join(F.slice(words, i, n), " "),
+    )
+    return F.array_distinct(F.slice(grams, 1, cnt))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    n: int = 2,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_doc_grams: int | None = None,
+) -> DataFrame:
+    """Jaccard-similar pairs via gram-inverted-index join:
+
+    (id, gram) distinct → self-join on gram (id_a < id_b) → ∩ counts →
+    J = ∩ / (|A| + |B| - ∩) ≥ threshold.
+
+    This is the shuffle-by-gram formulation that scales: hot grams can be
+    capped with ``max_doc_grams`` (drop grams appearing in more than N docs —
+    stop-gram removal, standard at corpus scale)."""
+    grams = df.select(
+        F.col(id_col).alias("id"), F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
+    )
+    sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    if max_doc_grams is not None:
+        hot = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df_cnt")).filter(
+            F.col("df_cnt") > max_doc_grams
+        )
+        grams = grams.join(F.broadcast(hot.select("gram")), "gram", "left_anti")
+    a = grams.alias("a")
+    b = grams.alias("b")
+    inter = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def charset_jaccard_pairs(
+    df: DataFrame,
+    block_col: str = "lang",
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Character-set Jaccard for pairs sharing a blocking key (cheap blocked
+    pairwise — use only when blocks are small; the SQL-oracle-friendly twin of
+    ``ngram_jaccard_pairs``)."""
+    chars = df.select(
+        F.col(id_col).alias("id"),
+        F.col(block_col).alias("blk"),
+        F.array_distinct(F.split(F.col(text_col), "", -1)).alias("cs"),
+    )
+    a, b = chars.alias("a"), chars.alias("b")
+    jac = F.size(F.array_intersect(F.col("a.cs"), F.col("b.cs"))) / F.size(
+        F.array_union(F.col("a.cs"), F.col("b.cs"))
+    )
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame,
+    num_hashes: int = 32,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """K-permutation MinHash signature per doc: sig[j] = min over grams of
+    xxhash64(gram, seed=j). Native expressions; the K transforms run over the
+    distinct-gram array once per row."""
+    grams = word_ngrams(F.col(text_col), n)
+    sig = F.array(
+        *[
+            F.array_min(F.transform(grams, lambda g, j=j: F.xxhash64(g, F.lit(j))))
+            for j in range(num_hashes)
+        ]
+    )
+    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 2,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Banded-LSH candidate generation + exact-Jaccard verification.
+
+    sig split into ``bands`` rows of ``num_hashes/bands``; docs colliding on
+    (band_idx, band_hash) become candidates (shuffle by band-hash — no N²);
+    candidates are verified with exact n-gram Jaccard and filtered at
+    ``threshold``. Returns (id_a, id_b, jaccard)."""
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sigs = minhash_signatures(df, num_hashes, n, text_col, id_col)
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.array_join(
+                                F.transform(
+                                    F.slice("sig", b * r + 1, r), lambda x: x.cast("string")
+                                ),
+                                ",",
+                            )
+                        ).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    grams = df.select(
+        F.col(id_col).alias("id"), word_ngrams(F.col(text_col), n).alias("grams")
+    )
+    ga = grams.select(F.col("id").alias("id_a"), F.col("grams").alias("g_a"))
+    gb = grams.select(F.col("id").alias("id_b"), F.col("grams").alias("g_b"))
+    jac = F.size(F.array_intersect("g_a", "g_b")) / F.size(F.array_union("g_a", "g_b"))
+    return (
+        cands.join(ga, "id_a")
+        .join(gb, "id_b")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def _simhash_batch(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over whitespace tokens (numpy bit-parallel majority).
+
+    Arrow-batched; FNV-1a per token keeps it dependency-free and deterministic
+    across workers."""
+
+    def fnv1a64(tok: str) -> int:
+        h = 0xCBF29CE484222325
+        for ch in tok.encode("utf-8"):
+            h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        return h
+
+    out = np.empty(len(texts), dtype=np.int64)
+    bitcols = (np.uint64(1) << np.arange(64, dtype=np.uint64))[None, :]
+    for i, t in enumerate(texts):
+        toks = (t or "").lower().split()
+        if not toks:
+            out[i] = 0
+            continue
+        hs = np.fromiter((fnv1a64(tok) for tok in toks), dtype=np.uint64, count=len(toks))
+        bits = (hs[:, None] & bitcols) != 0
+        votes = bits.sum(axis=0) * 2 - len(toks)  # +1 / -1 majority
+        out[i] = np.int64(((votes > 0).astype(np.uint64) * bitcols[0]).sum().astype(np.uint64))
+    return pd.Series(out)
+
+
+def simhash64(df: DataFrame, text_col: str = "text", out: str = "simhash") -> DataFrame:
+    # UDF built lazily — pandas_udf type resolution needs an active session
+    udf = pandas_udf(_simhash_batch, "long")
+    return df.withColumn(out, udf(F.col(text_col)))
+
+
+def simhash_dup_pairs(
+    df: DataFrame, max_hamming: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ k via the 4-block pigeonhole
+    trick: split 64 bits into k+1 blocks — any pair within distance k agrees
+    on ≥1 block, so blocks are the LSH bucket key (one equi-join, no N²)."""
+    nblocks = max_hamming + 1
+    width = 64 // nblocks
+    sh = simhash64(df.select(F.col(id_col).alias("id"), text_col), text_col)
+    blocked = sh.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("blk"),
+                        F.shiftrightunsigned(F.col("simhash"), b * width).bitwiseAND(
+                            F.lit((1 << width) - 1)
+                        ).alias("bits"),
+                    )
+                    for b in range(nblocks)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "simhash", F.col("bb.blk").alias("blk"), F.col("bb.bits").alias("bits"))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.bits") == F.col("b.bits"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), ham.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup
+# ---------------------------------------------------------------------------
+
+def cosine(a: Column, b: Column) -> Column:
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0).cast("double"), lambda acc, x: acc + x
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0).cast("double"), lambda acc, x: acc + x * x)
+    )
+    return dot / (norm(a) * norm(b))
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+) -> DataFrame:
+    """Cosine ≥ τ near-duplicate pairs. With ``block_col`` (e.g. a coarse
+    cluster/LSH bucket) the join is blocked; otherwise brute-force pairwise —
+    only for small corpora or as the verification stage after ANN blocking."""
+    v = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        *( [F.col(block_col).alias("blk")] if block_col else [] ),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    if block_col:
+        cond = cond & (F.col("a.blk") == F.col("b.blk"))
+    cos = cosine(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(b, cond)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), F.round(cos, 6).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )

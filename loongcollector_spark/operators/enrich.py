@@ -224,6 +224,90 @@ def pack_json(df: DataFrame, source_keys: list[str], dest_key: str, fields_col: 
     )
 
 
+def gotime(
+    df: DataFrame,
+    source_key: str,
+    source_format: str,
+    dest_key: str,
+    dest_format: str,
+    source_tz: str = "UTC",
+    dest_tz: str = "UTC",
+    fields_col: str = "fields",
+    set_time: bool = True,
+    time_col: str = "event_time",
+) -> DataFrame:
+    """processor_gotime: parse SourceKey with a time format, reformat into
+    DestKey with src/dst timezone conversion
+    (plugins/processor/gotime/processor_gotime.go:34-52,111-118). Formats here
+    are Spark/JDK patterns, not Go reference layouts — the config compiler maps
+    them."""
+    base = F.col(fields_col)
+    ts = F.to_utc_timestamp(F.try_to_timestamp(base[source_key], F.lit(source_format)), source_tz)
+    formatted = F.date_format(F.from_utc_timestamp(ts, dest_tz), dest_format)
+    out_map = F.when(
+        formatted.isNotNull(),
+        F.map_concat(base, F.create_map(F.lit(dest_key), formatted)),
+    ).otherwise(base)
+    out = df.withColumn(fields_col, out_map)
+    if set_time:
+        prev = F.col(time_col) if time_col in df.columns else F.lit(None).cast("timestamp")
+        out = out.withColumn(time_col, F.coalesce(ts, prev))
+    return out
+
+
+def anchor(
+    df: DataFrame,
+    anchors: list[dict],
+    source_key: str = "content",
+    fields_col: str = "fields",
+    source_is_field: bool = False,
+) -> DataFrame:
+    """processor_anchor: substring extraction between Start/Stop anchor strings
+    per ``{"start":…, "stop":…, "field":…}`` (plugins/processor/anchor/
+    anchor.go:46). Empty start → begin of line; empty stop → end of line."""
+    src = F.col(fields_col)[source_key] if source_is_field else F.col(source_key)
+    base = (
+        F.coalesce(F.col(fields_col), F.create_map().cast("map<string,string>"))
+        if fields_col in df.columns
+        else F.create_map().cast("map<string,string>")
+    )
+    pairs = []
+    for a in anchors:
+        start, stop, field = a.get("start", ""), a.get("stop", ""), a["field"]
+        after = F.substring_index(src, start, -1) if start else src
+        val = F.substring_index(after, stop, 1) if stop else after
+        present = src.isNotNull() & (src.contains(start) if start else F.lit(True))
+        pairs.append((field, val, present))
+    entries = [
+        F.slice(
+            F.array(F.struct(F.lit(k).alias("key"), v.alias("value"))), 1,
+            F.when(p, F.lit(1)).otherwise(F.lit(0)),
+        )
+        for k, v, p in pairs
+    ]
+    arr = entries[0] if len(entries) == 1 else F.concat(*entries)
+    add = F.coalesce(F.map_from_entries(arr), F.create_map().cast("map<string,string>"))
+    return df.withColumn(fields_col, F.map_concat(base, add))
+
+
+def encrypt_fields(
+    df: DataFrame, keys: list[str], key_hex: str, iv_hex: str | None = None, fields_col: str = "fields"
+) -> DataFrame:
+    """processor_encrypt: AES-CBC encrypt listed fields, hex output
+    (plugins/processor/encrypt/processor_encrypt.go:41). Native aes_encrypt."""
+    base = F.col(fields_col)
+    key_b = F.unhex(F.lit(key_hex))
+    iv_b = F.unhex(F.lit(iv_hex)) if iv_hex else F.lit(b"")
+    m = base
+    for k in keys:
+        cur = m[k]
+        enc = F.hex(F.aes_encrypt(cur.cast("binary"), key_b, F.lit("CBC"), F.lit("PKCS"), iv_b))
+        m = F.when(
+            cur.isNotNull(), F.map_concat(m, F.create_map(F.lit(k), enc))
+        ).otherwise(m)
+    return df.withColumn(fields_col, m)
+
+
 def add_tags(df: DataFrame, tags: dict[str, str], tags_col: str = "tags") -> DataFrame:
     """processor_tag_native: inject host/env tags as group tags
     (core/plugin/processor/inner/ProcessorTagNative.cpp:44-120)."""

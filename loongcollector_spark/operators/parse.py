@@ -545,6 +545,78 @@ def split_key_value(
     return df.withColumn(fields_col, parsed).withColumn(PARSE_OK, matched)
 
 
+# ---------------------------------------------------------------------------
+# Go-style recursive JSON flatten (processor_json)
+# ---------------------------------------------------------------------------
+
+def json_flatten(
+    df: DataFrame,
+    source_col: str = "content",
+    fields_col: str = "fields",
+    expand_depth: int = 0,  # 0 = unlimited (processor_json.go:29-41)
+    connector: str = "_",
+    prefix: str = "",
+    expand_array: bool = False,
+    ignore_first_connector: bool = False,
+) -> DataFrame:
+    """processor_json (Go): recursive flatten with ExpandDepth/ExpandConnector/
+    Prefix/ExpandArray (plugins/processor/json/processor_json.go:29-41,120-180).
+
+    Depth-bounded recursive flatten is not expressible natively → Arrow-batched
+    pandas UDF (slow path by design; the native ``parse_json`` covers the
+    depth-1 hot case)."""
+    import json as _json
+
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql import types as T
+
+    @pandas_udf(T.MapType(T.StringType(), T.StringType()))
+    def _flatten(s):  # type: ignore[no-untyped-def]
+        def leaf(v) -> str:
+            if isinstance(v, str):
+                return v
+            if isinstance(v, bool):
+                return "true" if v else "false"
+            if v is None:
+                return "null"
+            if isinstance(v, (dict, list)):
+                return _json.dumps(v, separators=(",", ":"))
+            return _json.dumps(v)
+
+        def walk(obj, key: str, depth: int, out: dict) -> None:
+            expandable = isinstance(obj, dict) or (expand_array and isinstance(obj, list))
+            if not expandable or (expand_depth and depth >= expand_depth):
+                out[key] = leaf(obj)
+                return
+            items = obj.items() if isinstance(obj, dict) else enumerate(obj)
+            for k, v in items:
+                nk = f"{key}{connector}{k}" if key else str(k)
+                walk(v, nk, depth + 1, out)
+
+        def one(line):
+            if line is None:
+                return None
+            try:
+                obj = _json.loads(line)
+            except Exception:
+                return None
+            if not isinstance(obj, (dict, list)):
+                return None
+            out: dict = {}
+            walk(obj, prefix.rstrip(connector) if ignore_first_connector else prefix, 0, out)
+            return out
+
+        return s.map(one)
+
+    parsed = _flatten(F.col(source_col))
+    ok = parsed.isNotNull()
+    m = F.coalesce(parsed, _empty_map())
+    if fields_col in df.columns:
+        m = F.map_concat(F.coalesce(F.col(fields_col), _empty_map()), m)
+    return df.withColumn(fields_col, m).withColumn(PARSE_OK, ok)
+
+
 def finalize(df: DataFrame) -> DataFrame:
     """Drop transient bookkeeping columns after the parse stage."""
     drops = [c for c in df.columns if c == PARSE_OK]

@@ -1,0 +1,114 @@
+"""Text-analysis operators for training-data pipelines (all native Catalyst —
+no Python in any of these; every one is SQL-oracle-expressible).
+
+* ``language_id``    — stopword-vote n-gram-free heuristic language ID.
+* ``quality_score``  — length / punctuation / stopword-ratio / word-length
+                       quality features + a composite score.
+* ``token_count``    — whitespace tokens and a BPE-ish subword regex count.
+* ``fingerprint``    — md5 content fingerprint over normalized text + 64-bit
+                       prefix as a join-friendly bigint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny self-authored stopword seed lists (top function words).
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was"],
+    "fr": ["le", "la", "les", "de", "des", "et", "en", "que", "pour", "dans"],
+    "es": ["el", "la", "los", "de", "y", "en", "que", "para", "con", "por"],
+    "de": ["der", "die", "das", "und", "von", "zu", "mit", "ist", "für", "auf"],
+}
+
+
+def _words(col: Column) -> Column:
+    return F.split(F.trim(F.lower(col)), r"\s+", -1)
+
+
+def language_id(
+    df: DataFrame,
+    text_col: str = "text",
+    out: str = "lang_pred",
+    stopwords: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """Stopword-vote language ID: the language whose stopword list intersects
+    the document's word set most wins; ties and zero hits → 'und'.
+
+    One pass, native set ops — at 100 TB this is a projection, no shuffle."""
+    sw = stopwords or STOPWORDS
+    words = F.array_distinct(_words(F.col(text_col)))
+    scores = {
+        lang: F.size(F.array_intersect(words, F.array(*[F.lit(w) for w in lst])))
+        for lang, lst in sw.items()
+    }
+    best_score = F.greatest(*scores.values()) if len(scores) > 1 else next(iter(scores.values()))
+    # deterministic tie-break: first language (dict order) achieving the max
+    pred = F.lit("und")
+    for lang in reversed(list(scores)):
+        pred = F.when((scores[lang] > 0) & (scores[lang] == best_score), F.lit(lang)).otherwise(pred)
+    return df.withColumn(out, pred)
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """The standard cheap quality heuristics (length, punctuation density,
+    stopword ratio, mean word length) as named expressions."""
+    words = _words(text)
+    n_words = F.size(words)
+    n_chars = F.length(text)
+    en_sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    sw_hits = F.size(F.filter(words, lambda w: F.array_contains(en_sw, w)))
+    punct = F.length(F.regexp_replace(text, r"[^!-/:-@\[-`{-~]", ""))
+    return {
+        "n_chars": n_chars,
+        "n_words": n_words,
+        "mean_word_len": F.round(
+            (n_chars - (n_words - F.lit(1))) / F.greatest(n_words, F.lit(1)), 6
+        ),
+        "punct_ratio": F.round(punct / F.greatest(n_chars, F.lit(1)), 6),
+        "stopword_ratio": F.round(sw_hits / F.greatest(n_words, F.lit(1)), 6),
+    }
+
+
+def quality_score(df: DataFrame, text_col: str = "text", out: str = "quality") -> DataFrame:
+    """Composite [0,1] quality score: rewards stopword presence and moderate
+    word length, penalizes punctuation soup and degenerate lengths."""
+    ft = quality_features(F.col(text_col))
+    len_ok = (ft["n_words"] >= 5) & (ft["mean_word_len"] >= 2) & (ft["mean_word_len"] <= 12)
+    score = (
+        F.lit(0.4) * ft["stopword_ratio"] * 2.5
+        + F.lit(0.3) * F.when(len_ok, 1.0).otherwise(0.0)
+        + F.lit(0.3) * (F.lit(1.0) - F.least(ft["punct_ratio"] * 4, F.lit(1.0)))
+    )
+    out_df = df
+    for name, expr in ft.items():
+        if name not in df.columns:
+            out_df = out_df.withColumn(name, expr)
+    return out_df.withColumn(out, F.round(F.least(score, F.lit(1.0)), 6))
+
+
+# BPE-ish subword pieces: word chunks of up to 4 chars + single non-word marks.
+BPE_ISH = r"[A-Za-z0-9]{1,4}|[^A-Za-z0-9\s]"
+
+
+def token_count(
+    df: DataFrame, text_col: str = "text", ws_out: str = "n_ws_tokens", bpe_out: str = "n_bpe_tokens"
+) -> DataFrame:
+    """Whitespace token count + BPE-ish subword count (regex piece model —
+    deterministic stand-in for a real tokenizer's piece count)."""
+    return df.withColumn(ws_out, F.size(_words(F.col(text_col)))).withColumn(
+        bpe_out, F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH), 0))
+    )
+
+
+def fingerprint(
+    df: DataFrame, text_col: str = "text", out: str = "fp_md5", out_int: str = "fp64"
+) -> DataFrame:
+    """Content fingerprint: md5 of normalized text; fp64 = first 16 hex digits
+    as a join/partition-friendly bigint."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    md5 = F.md5(norm.cast("binary"))
+    return df.withColumn(out, md5).withColumn(
+        out_int, F.conv(F.substring(md5, 1, 15), 16, 10).cast("long")
+    )

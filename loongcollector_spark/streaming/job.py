@@ -1,0 +1,129 @@
+"""Structured Streaming mode of the pipeline.
+
+The reference is a continuous agent: file tailing → process → batched flush
+with size/age triggers (core/collection_pipeline/batch/FlushStrategy.h:31-104)
+and late-data drop via discard intervals. The Spark-native equivalents:
+
+* file tailing          → ``readStream`` file source (new files per trigger;
+                          the InputFile/EventDispatcher analog)
+* processor chain       → IDENTICAL stateless transformations as batch —
+                          ``build_pipeline`` is reused verbatim
+* Batcher/FlushStrategy → trigger intervals + sink file sizing
+* at-least-once + resume→ streaming checkpoint (file-source offsets) — a
+                          restarted query reprocesses nothing, the streaming
+                          twin of checkpoint.py's batch resume
+* discard-old-events    → ``withWatermark`` on event_time for windowed aggs
+
+``foreachBatch`` fans out each micro-batch to the per-route sinks (append
+mode), mirroring Router.cpp:50-82.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.pipeline import ParserSpec, build_pipeline
+from ..operators.route import RouteRule
+from ..schema import SEQUENCE_SCHEMA
+
+
+def stream_sequences(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    r = spark.readStream.schema(SEQUENCE_SCHEMA)
+    if max_files_per_trigger:
+        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    return r.parquet(input_dir)
+
+
+def stream_pipeline(
+    spark: SparkSession,
+    input_dir: str,
+    parsers: dict[str, ParserSpec] | None = None,
+    routes: list[RouteRule] | None = None,
+    **kwargs,
+) -> DataFrame:
+    """The batch pipeline, streaming: decode → parse → route on a readStream.
+    All pipeline stages are stateless projections/filters, so the SAME plan
+    builder works unchanged on an unbounded input."""
+    return build_pipeline(stream_sequences(spark, input_dir), parsers, routes, **kwargs)
+
+
+def start_fanout(
+    routed: DataFrame,
+    out_root: str,
+    checkpoint_dir: str,
+    available_now: bool = False,
+    processing_time: str = "10 seconds",
+):
+    """foreachBatch fan-out writer: each micro-batch appended to per-route
+    directories + a running counts ledger (one parquet row per batch/route —
+    the flusher OUT_EVENTS counters)."""
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        df = batch_df
+        if "tokens" in df.columns and "content" in df.columns:
+            df = df.drop("tokens")  # payload = content (bijective; see sources/io.py)
+        df.write.mode("append").partitionBy("route").parquet(os.path.join(out_root, "sinks"))
+        (
+            batch_df.groupBy("route")
+            .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("n_tok").alias("n_tok_sum"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(os.path.join(out_root, "counts"))
+        )
+
+    w = routed.writeStream.foreachBatch(_write_batch).option("checkpointLocation", checkpoint_dir)
+    w = w.trigger(availableNow=True) if available_now else w.trigger(processingTime=processing_time)
+    return w.start()
+
+
+def windowed_counts(
+    routed: DataFrame,
+    window: str = "5 minutes",
+    watermark: str = "1 hour",
+    time_col: str = "event_time",
+) -> DataFrame:
+    """Event-time windowed per-sink counts with late-data handling.
+
+    The watermark is the principled version of the reference's
+    ilogtail_discard_interval drop (ProcessorParseApsaraNative.cpp:173-199):
+    events later than the watermark are dropped from their window instead of
+    corrupting closed aggregates. Rows without a parsed event time fall back
+    to the ingest clock."""
+    with_ts = routed.withColumn(
+        "_wts", F.coalesce(F.col(time_col), F.current_timestamp())
+    ).withWatermark("_wts", watermark)
+    return with_ts.groupBy(F.window("_wts", window).alias("w"), F.col("route")).agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("n_tok").alias("n_tok_sum")
+    )
+
+
+def start_windowed_counts(
+    routed: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    window: str = "5 minutes",
+    watermark: str = "1 hour",
+    available_now: bool = False,
+):
+    agg = windowed_counts(routed, window, watermark)
+    flat = agg.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "route",
+        "n_rows",
+        "n_tok_sum",
+    )
+    w = (
+        flat.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    w = w.trigger(availableNow=True) if available_now else w.trigger(processingTime="10 seconds")
+    return w.start()

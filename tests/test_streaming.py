@@ -1,0 +1,75 @@
+"""Structured Streaming pipeline: availableNow fan-out equals batch results;
+restart processes only new files (the streaming resume contract)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from loongcollector_spark.operators.aggregate import sink_counts
+from loongcollector_spark.plans.pipeline import build_pipeline
+from loongcollector_spark.streaming.job import start_fanout, stream_pipeline
+from loongcollector_spark.synth import ensure_sequences, write_sequences
+
+
+@pytest.fixture()
+def stream_dirs(tmp_path):
+    inp = str(tmp_path / "in")
+    os.makedirs(inp)
+    # first file: 1500 rows
+    src = ensure_sequences(1500)
+    for f in os.listdir(src):
+        shutil.copy(os.path.join(src, f), os.path.join(inp, "a_" + f))
+    return inp, str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+
+def _counts(spark, out_root):
+    df = spark.read.parquet(os.path.join(out_root, "counts"))
+    return {
+        r["route"]: (r["rows"], r["toks"])
+        for r in df.groupBy("route")
+        .agg(F.sum("n_rows").alias("rows"), F.sum("n_tok_sum").alias("toks"))
+        .collect()
+    }
+
+
+def test_stream_matches_batch_and_resumes(spark, stream_dirs):
+    inp, out, ckpt = stream_dirs
+    routed = stream_pipeline(spark, inp)
+    assert routed.isStreaming
+    q = start_fanout(routed, out, ckpt, available_now=True)
+    q.awaitTermination(300)
+
+    batch = {
+        r["route"]: (r["n_rows"], int(r["n_tok_sum"]))
+        for r in sink_counts(build_pipeline(spark.read.parquet(inp))).collect()
+    }
+    got = {k: (int(a), int(b)) for k, (a, b) in _counts(spark, out).items()}
+    assert got == batch
+    sinks = spark.read.parquet(os.path.join(out, "sinks"))
+    assert sinks.count() == 1500
+    assert "content" in sinks.columns and "route" in sinks.columns
+
+    # append a second batch of files; restart from checkpoint → only new rows
+    src2 = write_sequences(os.path.join(os.path.dirname(inp), "extra.parquet"), 500, seed=43)
+    for f in os.listdir(src2):
+        shutil.copy(os.path.join(src2, f), os.path.join(inp, "b_" + f))
+    q2 = start_fanout(stream_pipeline(spark, inp), out, ckpt, available_now=True)
+    q2.awaitTermination(300)
+    total_rows = sum(a for a, _ in _counts(spark, out).values())
+    assert total_rows == 2000  # 1500 + 500, nothing reprocessed
+    assert spark.read.parquet(os.path.join(out, "sinks")).count() == 2000
+
+
+def test_windowed_counts_schema(spark, stream_dirs):
+    inp, out, ckpt = stream_dirs
+    from loongcollector_spark.streaming.job import windowed_counts
+
+    routed = stream_pipeline(spark, inp)
+    agg = windowed_counts(routed, window="10 minutes", watermark="2 hours")
+    assert agg.isStreaming
+    cols = {f.name for f in agg.schema.fields}
+    assert {"w", "route", "n_rows", "n_tok_sum"} <= cols

@@ -1,0 +1,202 @@
+"""Training-data pipeline operators: dedup (exact/ngram/minhash-LSH/simhash/
+embedding), text analysis, grok, JSON flatten, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from loongcollector_spark.operators import dedup as D
+from loongcollector_spark.operators import grok as G
+from loongcollector_spark.operators import multimodal as M
+from loongcollector_spark.operators import text as X
+from loongcollector_spark.operators.parse import json_flatten
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en"),
+        (2, "the quick brown fox jumps over the lazy cat", "en"),   # near-dup of 1
+        (3, "THE QUICK  BROWN fox jumps over the lazy dog", "en"),  # exact dup of 1 (normalized)
+        (4, "le renard brun rapide saute pour les de la chiens et", "fr"),
+        (5, "completely different text about spark engines and data", "en"),
+        (6, "el zorro marron rapido salta sobre el perro perezoso y para", "es"),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string, lang string")
+
+
+def test_exact_dedup(docs):
+    out = {r["dup_key"]: r for r in D.exact_dedup(docs).collect()}
+    key = "the quick brown fox jumps over the lazy dog"
+    assert out[key]["dup_cnt"] == 2 and out[key]["rep_id"] == 1
+    assert len(out) == 5
+
+
+def test_ngram_jaccard_pairs(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             D.ngram_jaccard_pairs(docs, n=2, threshold=0.5).collect()}
+    assert (1, 3) in pairs and pairs[(1, 3)] == 1.0   # normalized-exact
+    assert (1, 2) in pairs and 0.6 < pairs[(1, 2)] < 1.0
+    assert (1, 5) not in pairs
+    # python oracle for (1,2)
+    def grams(t, n=2):
+        w = " ".join(t.lower().split()).split(" ")
+        return {" ".join(w[i:i+n]) for i in range(len(w)-n+1)}
+    g1, g2 = grams("the quick brown fox jumps over the lazy dog"), grams("the quick brown fox jumps over the lazy cat")
+    exp = len(g1 & g2) / len(g1 | g2)
+    assert abs(pairs[(1, 2)] - exp) < 1e-6
+
+
+def test_minhash_lsh_pairs(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             D.minhash_lsh_pairs(docs, num_hashes=32, bands=16, n=2, threshold=0.5).collect()}
+    # high-similarity pairs must be found (identical sigs collide in every band)
+    assert (1, 3) in pairs and pairs[(1, 3)] == 1.0
+    assert (1, 2) in pairs
+    # verification stage guarantees no false positives below threshold
+    assert all(j >= 0.5 for j in pairs.values())
+
+
+def test_minhash_signature_properties(docs):
+    sigs = {r["id"]: r["sig"] for r in D.minhash_signatures(docs, num_hashes=16).collect()}
+    assert sigs[1] == sigs[3]          # identical normalized text → identical sig
+    agree = sum(a == b for a, b in zip(sigs[1], sigs[2])) / 16
+    assert agree >= 0.5                # near-dups agree on many components
+    assert sum(a == b for a, b in zip(sigs[1], sigs[5])) <= 4
+
+
+def test_simhash_pairs(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in D.simhash64(docs).select("doc_id", "simhash").collect()}
+    assert sh[1] == sh[3]
+    ham12 = bin((sh[1] ^ sh[2]) & ((1 << 64) - 1)).count("1")
+    ham15 = bin((sh[1] ^ sh[5]) & ((1 << 64) - 1)).count("1")
+    assert ham12 < ham15
+    pairs = {(r["id_a"], r["id_b"]) for r in D.simhash_dup_pairs(docs, max_hamming=ham12).collect()}
+    assert (1, 3) in pairs and (1, 2) in pairs
+
+
+def test_embedding_dup_pairs(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),   # near-dup of 1
+        (3, [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    pairs = {(r["id_a"], r["id_b"]): r["cos"] for r in D.embedding_dup_pairs(df, 0.95).collect()}
+    assert set(pairs) == {(1, 2)} and pairs[(1, 2)] > 0.99
+
+
+def test_language_id(docs):
+    out = {r["doc_id"]: r["lang_pred"] for r in X.language_id(docs).collect()}
+    assert out[1] == "en" and out[4] == "fr" and out[6] == "es"
+
+
+def test_quality_and_tokens(docs):
+    q = {r["doc_id"]: r for r in X.quality_score(X.token_count(docs)).collect()}
+    assert q[1]["n_ws_tokens"] == 9
+    assert q[1]["n_bpe_tokens"] >= 9
+    assert 0.0 <= q[1]["quality"] <= 1.0
+    assert q[1]["quality"] > 0.3  # real sentence beats junk
+    assert q[1]["stopword_ratio"] > 0.2
+
+
+def test_fingerprint(docs):
+    fp = {r["doc_id"]: r for r in X.fingerprint(docs).collect()}
+    assert fp[1]["fp_md5"] == fp[3]["fp_md5"]  # normalization-invariant
+    assert fp[1]["fp_md5"] != fp[2]["fp_md5"]
+    assert isinstance(fp[1]["fp64"], int)
+
+
+# --- grok -------------------------------------------------------------------
+
+def test_grok_expand_and_cycles():
+    rx, fields = G.expand("%{INT:a} %{WORD:b}")
+    assert [f for f, _ in fields] == ["a", "b"]
+    import re
+    m = re.fullmatch(rx, "-42 hello")
+    assert m and m.group(1) == "-42" and m.group(2) == "hello"
+    with pytest.raises(G.GrokError):
+        G.expand("%{NOPE:x}")
+    with pytest.raises(G.GrokError):
+        G.expand("%{A:x}", lib={"A": "%{B}", "B": "%{A}"})
+
+
+def test_grok_apache_log(spark):
+    line = '127.0.0.1 - frank [10/Oct/2000:13:55:36 -0700] "GET /apache_pb.gif HTTP/1.0" 200 2326'
+    df = spark.createDataFrame([(line,), ("not a log line at all",)], "content string")
+    out = G.parse_grok(df, ["%{COMMONAPACHELOG}"]).collect()
+    by = {r["content"]: dict(r["fields"]) for r in out}
+    f = by[line]
+    assert f["clientip"] == "127.0.0.1" and f["auth"] == "frank"
+    assert f["verb"] == "GET" and f["response"] == "200" and f["bytes"] == "2326"
+    assert f["__raw__"] == line  # grok default KeepSource=true
+    assert "clientip" not in by["not a log line at all"]
+
+
+def test_grok_first_match_wins(spark):
+    df = spark.createDataFrame([("x=12",), ("y=ab",)], "content string")
+    out = G.parse_grok(df, [r"x=%{INT:xval}", r"y=%{WORD:yval}"]).collect()
+    by = {r["content"]: dict(r["fields"]) for r in out}
+    assert by["x=12"].get("xval") == "12" and "yval" not in by["x=12"]
+    assert by["y=ab"].get("yval") == "ab" and "xval" not in by["y=ab"]
+
+
+# --- json flatten -----------------------------------------------------------
+
+def test_json_flatten_depth(spark):
+    line = '{"a": {"b": {"c": 1}}, "d": [1, 2], "e": "v"}'
+    df = spark.createDataFrame([(line,)], "content string")
+    full = dict(json_flatten(df).collect()[0]["fields"])
+    assert full == {"a_b_c": "1", "d": "[1,2]", "e": "v"}
+    d1 = dict(json_flatten(df, expand_depth=1).collect()[0]["fields"])
+    assert d1 == {"a": '{"b":{"c":1}}', "d": "[1,2]", "e": "v"}
+    arr = dict(json_flatten(df, expand_array=True).collect()[0]["fields"])
+    assert arr["d_0"] == "1" and arr["d_1"] == "2"
+
+
+# --- multimodal -------------------------------------------------------------
+
+def test_media_features(spark):
+    media = M.synth_media(spark, 12)
+    feats = M.media_features(media).collect()
+    assert len(feats) == 12
+    for r in feats:
+        assert len(r["feature"]) == M.FEATURE_DIM
+        assert r["n_bytes"] > 0
+    # determinism: same payload → same feature
+    again = M.media_features(M.synth_media(spark, 12)).collect()
+    assert {r["media_id"]: r["feature"] for r in feats} == {
+        r["media_id"]: r["feature"] for r in again
+    }
+
+
+def test_image_resize_plumbing(spark):
+    media = M.synth_media(spark, 6)
+    out = M.image_resize(media, 64, 64)
+    assert out.schema == media.schema
+    rows = {r["media_id"]: r for r in out.collect()}
+    orig = {r["media_id"]: r for r in media.collect()}
+    for mid, r in rows.items():
+        if r["kind"] == "image":
+            assert bytes(r["payload"]) != bytes(orig[mid]["payload"])
+        else:
+            assert bytes(r["payload"]) == bytes(orig[mid]["payload"])
+
+
+def test_media_feature_dedup_integration(spark):
+    """Features feed the embedding dedup operator (same payload → cos 1.0)."""
+    import pyspark.sql.types as T
+    media = M.synth_media(spark, 6)
+    dup = media.limit(2).withColumn("media_id", F.concat(F.lit("dup-"), "media_id"))
+    both = media.unionByName(dup)
+    feats = M.media_features(both).withColumn(
+        "feature", F.col("feature").cast(T.ArrayType(T.DoubleType()))
+    )
+    pairs = D.embedding_dup_pairs(feats, 0.9999, id_col="media_id", vec_col="feature").collect()
+    found = {(min(r["id_a"], r["id_b"]).replace("dup-", ""), max(r["id_a"], r["id_b"]).replace("dup-", ""))
+             for r in pairs}
+    # every planted duplicate (same underlying payload) must be recovered;
+    # the toy stub features may also pair distinct-but-similar payloads
+    identical = {(a, b) for a, b in found if a == b}
+    assert len(identical) == 2
