@@ -396,10 +396,10 @@ def q_desensitize_md5_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from loongcollector_spark.operators.enrich import desensitize_md5
 
     c = _t(spark, sf_dir, "customer").withColumn(
-        "fields", F.create_map(F.lit("phone"), F.col("c_phone"))
+        "fields", F.create_map(F.lit("cname"), F.col("c_name"))
     )
-    out = desensitize_md5(c, "phone", r"\d{4,}")
-    return out.select("c_custkey", F.col("fields")["phone"].alias("redacted_phone"))
+    out = desensitize_md5(c, "cname", r"\d{4,}")
+    return out.select("c_custkey", F.col("fields")["cname"].alias("redacted_name"))
 
 
 # ---------------------------------------------------------------------------
@@ -611,6 +611,48 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SPL / multiline / rate limit
+# ---------------------------------------------------------------------------
+
+SPL_SCRIPT = (
+    r"* | parse-regexp text, '(\w+) (\w+)' as w1, w2"
+    " | where w1 != ''"
+    " | stats count() as n by w1"
+    " | sort by n desc, w1"
+    " | limit 10"
+)
+
+
+def q_spl_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loongcollector_spark.plans.spl import compile_spl
+
+    d = _t(spark, sf_dir, "documents")
+    return compile_spl(d, SPL_SCRIPT).select("w1", "n")
+
+
+def q_multiline_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loongcollector_spark.operators.multiline import merge_multiline
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("stream_id"),
+        F.col("l_linenumber").alias("line_no"),
+        F.concat(
+            F.when(F.col("l_linenumber") == 1, F.lit("S ")).otherwise(F.lit("  c ")),
+            F.col("l_returnflag"),
+        ).alias("content"),
+    )
+    return merge_multiline(li, r"^S ")
+
+
+def q_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loongcollector_spark.operators.ratelimit import rate_limit_batch
+
+    e = _t(spark, sf_dir, "events")
+    out = rate_limit_batch(e, ["user_id"], 2, ts_col="ts", window_sec=3600, tiebreak_cols=["event_id"])
+    return out.select("user_id", "event_id")
+
+
+# ---------------------------------------------------------------------------
 # SQL-engine coverage (SPL stats analog): TPC-H-style aggregates & joins
 # ---------------------------------------------------------------------------
 
@@ -745,6 +787,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_flatten": q_json_flatten,
         "windowed_counts": q_windowed_counts,
         "tpch_q6": q_tpch_q6,
+        # SPL / multiline / rate limit
+        "spl_stats": q_spl_stats,
+        "multiline_merge": q_multiline_merge,
+        "rate_limit": q_rate_limit,
     }
 
 
@@ -877,6 +923,29 @@ def oracle_sql() -> dict[str, str]:
             from lineitem
             where l_shipdate >= timestamp '1995-01-01' and l_shipdate < timestamp '1996-01-01'
               and l_discount between 0.03 and 0.05 and l_quantity < 24
+        """,
+        "spl_stats": r"""
+            with p as (
+              select regexp_extract(text, '(\w+) (\w+)', 1) as w1 from documents
+            )
+            select w1, count(*) as n from p where w1 != ''
+            group by w1 order by n desc, w1 limit 10
+        """,
+        "multiline_merge": """
+            select l_orderkey as stream_id, cast(1 as bigint) as event_seq,
+                   min(l_linenumber) as line_no,
+                   string_agg(case when l_linenumber = 1 then 'S ' else '  c ' end || l_returnflag,
+                              chr(10) order by l_linenumber) as content,
+                   count(*) as n_lines
+            from lineitem group by l_orderkey
+        """,
+        "rate_limit": """
+            select user_id, event_id from (
+              select user_id, event_id,
+                     row_number() over (partition by user_id, floor(epoch(ts) / 3600)
+                                        order by ts, event_id) as rn
+              from events
+            ) where rn <= 2
         """,
     }
     transforms = {

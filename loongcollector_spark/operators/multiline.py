@@ -1,0 +1,89 @@
+"""Multiline merge — processor_merge_multiline_log_native /
+processor_split_multiline_log_string_native
+(core/plugin/processor/inner/ProcessorMergeMultilineLogNative.cpp:161,
+core/plugin/processor/inner/ProcessorSplitMultilineLogStringNative.cpp:127).
+
+The reference stitches continuation lines into one event using Start /
+Continue / End regexes over the file order. Spark-native formulation:
+**sessionization by running count of start-matches** over the
+``(stream_id, line_no)`` order:
+
+    event_seq = sum(is_start) over (partition by stream_id order by line_no)
+
+then one ``groupBy (stream_id, event_seq)`` concatenates the member lines in
+order. One window pass + one aggregation — both shuffle on ``stream_id``, so a
+stream's lines co-locate and the operator scales with the number of streams
+(the reference is bounded by one file handle per stream the same way).
+
+Unmatched-leader handling mirrors ``UnmatchedContentTreatment``
+(ProcessorSplitMultilineLogStringNative.h:68-79): lines before the first start
+match form event_seq 0 — ``unmatched='discard'`` drops them, ``'single_line'``
+keeps them as one-line events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def merge_multiline(
+    df: DataFrame,
+    start_pattern: str,
+    stream_col: str = "stream_id",
+    order_col: str = "line_no",
+    content_col: str = "content",
+    unmatched: str = "single_line",  # single_line | discard
+    joiner: str = "\n",
+) -> DataFrame:
+    """Merge continuation lines into events. Returns
+    ``(stream_id, event_seq, line_no, content, n_lines)`` — ``line_no`` is the
+    leader's line number, ``content`` the joined event text."""
+    is_start = F.col(content_col).rlike(start_pattern)
+    w = Window.partitionBy(stream_col).orderBy(order_col)
+    seq = F.sum(F.when(is_start, 1).otherwise(0)).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tagged = df.withColumn("_evt", seq)
+    if unmatched == "discard":
+        tagged = tagged.filter(F.col("_evt") > 0)
+    merged = (
+        tagged.groupBy(stream_col, "_evt")
+        .agg(
+            F.min(order_col).alias(order_col),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col(order_col).alias("o"), F.col(content_col).alias("c")))
+                    ),
+                    lambda s: s["c"],
+                ),
+                joiner,
+            ).alias(content_col),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .withColumnRenamed("_evt", "event_seq")
+    )
+    return merged
+
+
+def split_lines(
+    df: DataFrame,
+    content_col: str = "content",
+    stream_col: str = "stream_id",
+    split_char: str = "\n",
+) -> DataFrame:
+    """processor_split_string_native
+    (core/plugin/processor/inner/ProcessorSplitLogStringNative.cpp:74-176):
+    one event per line, line number preserved for downstream merge/order."""
+    lines = F.split(F.col(content_col), split_char, -1)
+    exploded = df.withColumn(
+        "_ln", F.explode(F.arrays_zip(F.sequence(F.lit(1), F.size(lines)).alias("line_no"), lines.alias("line")))
+    )
+    return (
+        exploded.drop(content_col)
+        .withColumn("line_no", F.col("_ln.line_no"))
+        .withColumn(content_col, F.col("_ln.line"))
+        .drop("_ln")
+    )

@@ -57,7 +57,13 @@ def write_routed_partitioned(
     if not keep_tokens and "tokens" in df.columns and "content" in df.columns:
         df = df.drop("tokens")
     if num_partitions:
-        df = salted_repartition(df, num_partitions, salt_buckets)
+        # Salt on (route, hash(doc_id)): each task then holds rows of exactly
+        # ONE route, so partitionBy opens one parquet writer per task instead
+        # of one per (task × route) — concurrent row-group buffers are the
+        # write stage's memory footprint (4 routes × 64 tasks × ~128MB blew
+        # up local[32]); the salt spreads the hot route over many tasks
+        # (sink-affinity sharding, aggregator_shardhash.go:164-204 semantics).
+        df = salted_repartition(df, num_partitions, salt_buckets, source_col=route_col)
     (
         df.write.mode("overwrite")
         .option("maxRecordsPerFile", 1_000_000)
