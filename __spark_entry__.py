@@ -631,17 +631,18 @@ def q_spl_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multiline_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each user's event stream merged into sessions starting at 'signup'
+    (merge-multiline semantics over a deterministic line order)."""
     from loongcollector_spark.operators.multiline import merge_multiline
 
-    li = _t(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("stream_id"),
-        F.col("l_linenumber").alias("line_no"),
-        F.concat(
-            F.when(F.col("l_linenumber") == 1, F.lit("S ")).otherwise(F.lit("  c ")),
-            F.col("l_returnflag"),
-        ).alias("content"),
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lines = e.select(
+        F.col("user_id").alias("stream_id"),
+        F.row_number().over(w).alias("line_no"),
+        F.col("event_type").alias("content"),
     )
-    return merge_multiline(li, r"^S ")
+    return merge_multiline(lines, r"^signup$")
 
 
 def q_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -932,12 +933,23 @@ def oracle_sql() -> dict[str, str]:
             group by w1 order by n desc, w1 limit 10
         """,
         "multiline_merge": """
-            select l_orderkey as stream_id, cast(1 as bigint) as event_seq,
-                   min(l_linenumber) as line_no,
-                   string_agg(case when l_linenumber = 1 then 'S ' else '  c ' end || l_returnflag,
-                              chr(10) order by l_linenumber) as content,
+            with l as (
+              select user_id as stream_id,
+                     cast(row_number() over (partition by user_id order by ts, event_id) as int)
+                       as line_no,
+                     event_type as content
+              from events),
+            t as (
+              select *, sum(case when content = 'signup' then 1 else 0 end)
+                          over (partition by stream_id order by line_no
+                                rows unbounded preceding) as evt
+              from l)
+            select stream_id, cast(evt as bigint) as event_seq,
+                   cast(min(line_no) as int) as line_no,
+                   string_agg(content, chr(10) order by line_no) as content,
                    count(*) as n_lines
-            from lineitem group by l_orderkey
+            from t
+            group by stream_id, evt, case when evt = 0 then line_no end
         """,
         "rate_limit": """
             select user_id, event_id from (

@@ -48,8 +48,15 @@ def merge_multiline(
     tagged = df.withColumn("_evt", seq)
     if unmatched == "discard":
         tagged = tagged.filter(F.col("_evt") > 0)
+    else:
+        # single_line: each line BEFORE the first start match is its own event
+        # (UnmatchedContentTreatment::SINGLE_LINE) — key those by line number
+        tagged = tagged.withColumn(
+            "_solo", F.when(F.col("_evt") == 0, F.col(order_col)).otherwise(F.lit(None))
+        )
+    group_keys = [stream_col, "_evt"] + (["_solo"] if unmatched != "discard" else [])
     merged = (
-        tagged.groupBy(stream_col, "_evt")
+        tagged.groupBy(*group_keys)
         .agg(
             F.min(order_col).alias(order_col),
             F.array_join(
@@ -65,7 +72,7 @@ def merge_multiline(
         )
         .withColumnRenamed("_evt", "event_seq")
     )
-    return merged
+    return merged.drop("_solo")
 
 
 def split_lines(

@@ -58,17 +58,20 @@ def test_merge_multiline(spark):
         ("f1", 3, "  at Bar.java:2"),
         ("f1", 4, "2024-01-01 INFO ok"),
         ("f2", 1, "orphan continuation"),
-        ("f2", 2, "2024-01-02 WARN w"),
+        ("f2", 2, "orphan two"),
+        ("f2", 3, "2024-01-02 WARN w"),
     ]
     df = spark.createDataFrame(rows, "stream_id string, line_no int, content string")
     out = merge_multiline(df, r"^\d{4}-\d{2}-\d{2} ")
-    got = {(r["stream_id"], r["event_seq"]): r for r in out.collect()}
-    assert got[("f1", 1)]["content"] == "2024-01-01 ERROR boom\n  at Foo.java:1\n  at Bar.java:2"
-    assert got[("f1", 1)]["n_lines"] == 3
-    assert got[("f1", 2)]["content"] == "2024-01-01 INFO ok"
-    assert got[("f2", 0)]["content"] == "orphan continuation"  # single_line mode
+    got = {(r["stream_id"], r["event_seq"], r["line_no"]): r for r in out.collect()}
+    assert got[("f1", 1, 1)]["content"] == "2024-01-01 ERROR boom\n  at Foo.java:1\n  at Bar.java:2"
+    assert got[("f1", 1, 1)]["n_lines"] == 3
+    assert got[("f1", 2, 4)]["content"] == "2024-01-01 INFO ok"
+    # single_line mode: each unmatched leader line is its OWN event
+    assert got[("f2", 0, 1)]["content"] == "orphan continuation"
+    assert got[("f2", 0, 2)]["content"] == "orphan two"
     dropped = merge_multiline(df, r"^\d{4}-\d{2}-\d{2} ", unmatched="discard")
-    assert ("f2", 0) not in {(r["stream_id"], r["event_seq"]) for r in dropped.collect()}
+    assert 0 not in {r["event_seq"] for r in dropped.collect()}
 
 
 def test_split_then_merge_roundtrip(spark):
