@@ -72,14 +72,14 @@ def run_flagship_path(spark, path: str) -> dict:
     import tempfile
 
     from loongcollector_spark.operators.aggregate import sink_counts
-    from loongcollector_spark.plans.pipeline import build_pipeline
+    from loongcollector_spark.plans.pipeline import build_pipeline, default_enrich
     from loongcollector_spark.sources.io import read_sequences, write_routed_partitioned
 
     df = read_sequences(spark, path)
     out_dir = tempfile.mkdtemp(prefix="bench_sinks_")
     try:
         t0 = time.monotonic()
-        routed = build_pipeline(df)
+        routed = build_pipeline(df, enrich=default_enrich(spark))
         write_routed_partitioned(
             routed, out_dir, num_partitions=spark.sparkContext.defaultParallelism * 2
         )

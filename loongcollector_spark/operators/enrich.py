@@ -24,10 +24,20 @@ import hashlib
 import re
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, pandas_udf
 from pyspark.sql import types as T
+
+from .parse import _entries_map, _opt_entry
+
+
+def _set_field(base: Column, key: str, value: Column, present: Column) -> Column:
+    """fields-map with ``key`` set to ``value`` where ``present`` (else left
+    untouched). ``mapKeyDedupPolicy=LAST_WIN`` makes map_concat overwrite the
+    existing key, so no map_filter (interpreted HOF) and no when-on-map
+    (~5× penalty) — see operators/parse.py module docstring."""
+    return F.map_concat(base, _entries_map(_opt_entry(key, value, present & value.isNotNull())))
 
 
 def dict_map(
@@ -51,15 +61,16 @@ def dict_map(
     d = broadcast(dict_df.select(F.col(k).alias("__dm_key"), F.col(v).alias("__dm_val")))
     src = F.col(fields_col)[source_key] if source_is_field else F.col(source_key)
     joined = df.join(d, src == F.col("__dm_key"), "left")
-    mapped = F.col("__dm_val") if missing is None else F.coalesce(F.col("__dm_val"), F.lit(missing))
+    mapped = F.col("__dm_val")
+    if missing is not None:
+        # HandleMissing fills only rows that HAVE the source key
+        mapped = F.when(src.isNotNull(), F.coalesce(mapped, F.lit(missing)))
     base = F.col(fields_col)
     if mode == "fill":
-        new_val = F.when(base[dest_key].isNotNull(), base[dest_key]).otherwise(mapped)
+        new_val = F.coalesce(base[dest_key], mapped)
     else:
         new_val = mapped
-    out_map = F.when(
-        new_val.isNotNull(), F.map_concat(F.map_filter(base, lambda kk, _: kk != F.lit(dest_key)), F.create_map(F.lit(dest_key), new_val))
-    ).otherwise(base)
+    out_map = _set_field(base, dest_key, new_val, new_val.isNotNull())
     return joined.withColumn(fields_col, out_map).drop("__dm_key", "__dm_val")
 
 
@@ -89,13 +100,8 @@ def add_fields(
 def appender(df: DataFrame, key: str, value: str, fields_col: str = "fields") -> DataFrame:
     """processor_appender: concatenate ``value`` onto existing field ``key``."""
     base = F.col(fields_col)
-    return df.withColumn(
-        fields_col,
-        F.map_concat(
-            F.map_filter(base, lambda k, _: k != F.lit(key)),
-            F.create_map(F.lit(key), F.concat(F.coalesce(base[key], F.lit("")), F.lit(value))),
-        ),
-    )
+    new = F.concat(F.coalesce(base[key], F.lit("")), F.lit(value))
+    return df.withColumn(fields_col, _set_field(base, key, new, F.lit(True)))
 
 
 def desensitize_const(
@@ -125,11 +131,7 @@ def desensitize_const(
         base = F.col(fields_col)
         cur = base[key]
         new = F.regexp_replace(cur, regex, replacement) if replace_all else first_only(cur)
-        out_map = F.when(
-            cur.isNotNull(),
-            F.map_concat(F.map_filter(base, lambda k, _: k != F.lit(key)), F.create_map(F.lit(key), new)),
-        ).otherwise(base)
-        return df.withColumn(fields_col, out_map)
+        return df.withColumn(fields_col, _set_field(base, key, new, cur.isNotNull()))
     new = F.regexp_replace(F.col(key), regex, replacement) if replace_all else first_only(F.col(key))
     return df.withColumn(key, new)
 
@@ -156,12 +158,7 @@ def desensitize_md5(
     if source_is_field:
         base = F.col(fields_col)
         cur = base[key]
-        new = md5_sub_udf(cur)
-        out_map = F.when(
-            cur.isNotNull(),
-            F.map_concat(F.map_filter(base, lambda k, _: k != F.lit(key)), F.create_map(F.lit(key), new)),
-        ).otherwise(base)
-        return df.withColumn(fields_col, out_map)
+        return df.withColumn(fields_col, _set_field(base, key, md5_sub_udf(cur), cur.isNotNull()))
     return df.withColumn(key, md5_sub_udf(F.col(key)))
 
 
@@ -187,11 +184,7 @@ def string_replace(
     else:
         raise ValueError(f"unknown method {method!r}")
     dk = dest_key or key
-    out_map = F.when(
-        cur.isNotNull(),
-        F.map_concat(F.map_filter(base, lambda k, _: k != F.lit(dk)), F.create_map(F.lit(dk), new)),
-    ).otherwise(base)
-    return df.withColumn(fields_col, out_map)
+    return df.withColumn(fields_col, _set_field(base, dk, new, cur.isNotNull()))
 
 
 def base64_field(df: DataFrame, key: str, dest_key: str, decode: bool = False, fields_col: str = "fields") -> DataFrame:
@@ -199,10 +192,7 @@ def base64_field(df: DataFrame, key: str, dest_key: str, decode: bool = False, f
     base = F.col(fields_col)
     cur = base[key]
     new = F.unbase64(cur).cast("string") if decode else F.base64(cur.cast("binary"))
-    return df.withColumn(
-        fields_col,
-        F.when(cur.isNotNull(), F.map_concat(F.map_filter(base, lambda k, _: k != F.lit(dest_key)), F.create_map(F.lit(dest_key), new))).otherwise(base),
-    )
+    return df.withColumn(fields_col, _set_field(base, dest_key, new, cur.isNotNull()))
 
 
 def md5_field(df: DataFrame, key: str, dest_key: str, fields_col: str = "fields") -> DataFrame:
@@ -210,8 +200,7 @@ def md5_field(df: DataFrame, key: str, dest_key: str, fields_col: str = "fields"
     base = F.col(fields_col)
     cur = base[key]
     return df.withColumn(
-        fields_col,
-        F.when(cur.isNotNull(), F.map_concat(F.map_filter(base, lambda k, _: k != F.lit(dest_key)), F.create_map(F.lit(dest_key), F.md5(cur.cast("binary"))))).otherwise(base),
+        fields_col, _set_field(base, dest_key, F.md5(cur.cast("binary")), cur.isNotNull())
     )
 
 
@@ -219,9 +208,7 @@ def pack_json(df: DataFrame, source_keys: list[str], dest_key: str, fields_col: 
     """processor_packjson: pack listed fields into one JSON object string."""
     base = F.col(fields_col)
     obj = F.to_json(F.struct(*[base[k].alias(k) for k in source_keys]))
-    return df.withColumn(
-        fields_col, F.map_concat(F.map_filter(base, lambda k, _: k != F.lit(dest_key)), F.create_map(F.lit(dest_key), obj))
-    )
+    return df.withColumn(fields_col, _set_field(base, dest_key, obj, F.lit(True)))
 
 
 def gotime(

@@ -131,8 +131,25 @@ def route(source: str, rules: list[tuple[str, str]], default: str | None = "sink
 
 DEFAULT_RULES = [("nginx", "sink_nginx"), ("apsara", "sink_apsara"), ("json|delimiter", "sink_structured")]
 
+# plans/pipeline.py STATUS_CLASSES twin
+STATUS_CLASSES = {"200": "ok", "301": "redirect", "403": "client_error",
+                  "404": "client_error", "500": "server_error"}
 
-def run_pipeline(rows, nginx_regex: str, nginx_keys: list[str], delim_keys: list[str]):
+
+def enrich_fields(fields: dict) -> dict:
+    """default_enrich oracle: dict-map status class + redact last IP octet."""
+    out = dict(fields)
+    rc = out.get("response_code")
+    if rc is not None:
+        out["status_class"] = STATUS_CLASSES.get(rc, "other")
+    ip = out.get("ip")
+    if ip is not None:
+        out["ip"] = re.sub(r"\d+$", "x", ip)
+    return out
+
+
+def run_pipeline(rows, nginx_regex: str, nginx_keys: list[str], delim_keys: list[str],
+                 enrich: bool = False):
     """Full flagship pipeline oracle → list of routed row dicts."""
     out = []
     for doc_id, tokens, n_tok, source in rows:
@@ -155,6 +172,8 @@ def run_pipeline(rows, nginx_regex: str, nginx_keys: list[str], delim_keys: list
         ok = fields is not None
         if not ok:
             fields = {"__raw_log__": line}  # keep_source_on_fail default
+        if enrich:
+            fields = enrich_fields(fields)
         sink = route(source, DEFAULT_RULES)
         out.append(
             {

@@ -45,15 +45,21 @@ def run_job(
     default_sink: str | None = "sink_default",
     num_partitions: int | None = None,
     keep_tokens: bool = False,
+    enrich: str | None = "default",
 ) -> dict:
     """Run (or resume) the flagship pipeline. Returns
     ``{"run_id", "sinks": {name: path}, "counts": {name: {n_rows, n_tok_sum}},
     "executed": [stage...]}`` — ``executed`` is empty on a fully-resumed run.
     """
+    from .pipeline import default_enrich
+
     num_partitions = num_partitions or spark.sparkContext.defaultParallelism * 2
     run = ResumableRun(spark, out_root, run_id)
 
-    routed = build_pipeline(read_sequences(spark, input_path), parsers, routes, default_sink)
+    enrich_fn = default_enrich(spark) if enrich == "default" else enrich
+    routed = build_pipeline(
+        read_sequences(spark, input_path), parsers, routes, default_sink, enrich=enrich_fn
+    )
     routed = routed.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         # Per-sink counts + input-side partition lineage in one cached pass.

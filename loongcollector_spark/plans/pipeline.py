@@ -153,6 +153,31 @@ DEFAULT_ROUTES = [
     RouteRule("json|delimiter", "sink_structured"),
 ]
 
+# Default enrich stage (the north-star broadcast-lookup / desensitize step):
+# status code → class via broadcast dict join; last IP octet redacted.
+STATUS_CLASSES = [
+    ("200", "ok"), ("301", "redirect"), ("403", "client_error"),
+    ("404", "client_error"), ("500", "server_error"),
+]
+
+
+def default_enrich(spark) -> "Callable[[DataFrame], DataFrame]":  # noqa: F821
+    """processor_dict_map + processor_desensitize over the parsed fields —
+    the reference's rename/filter/desensitize enrich line as one composable
+    stage. The dict join is broadcast (zero shuffle of the fact side)."""
+    from ..operators.enrich import desensitize_const, dict_map
+
+    dict_df = spark.createDataFrame(STATUS_CLASSES, "code string, cls string")
+
+    def _apply(df: DataFrame) -> DataFrame:
+        df = dict_map(
+            df, dict_df, source_key="response_code", dest_key="status_class", missing="other"
+        )
+        df = desensitize_const(df, "ip", r"\d+$", "x")  # redact last IP octet
+        return df
+
+    return _apply
+
 
 def build_pipeline(
     df: DataFrame,
@@ -160,9 +185,13 @@ def build_pipeline(
     routes: list[RouteRule] | None = None,
     default_sink: str | None = "sink_default",
     route_on_parse_fail: str | None = None,
+    enrich=None,
 ) -> DataFrame:
-    """decode → parse(by source) → route. ``tokens`` is carried untouched.
+    """decode → parse(by source) → [enrich] → route. ``tokens`` is carried
+    untouched.
 
+    ``enrich`` is a DataFrame→DataFrame stage (see ``default_enrich``) applied
+    between parse and route — the broadcast-lookup / desensitize line.
     ``route_on_parse_fail`` overrides the route for rows whose parse failed
     (e.g. send malformed lines to a quarantine sink).
     """
@@ -170,6 +199,8 @@ def build_pipeline(
     routes = DEFAULT_ROUTES if routes is None else routes
     out = with_content(df)
     out = parse_by_source(out, parsers)
+    if enrich is not None:
+        out = enrich(out)
     out = route_rows(out, routes, source_key="source", default_sink=default_sink)
     if route_on_parse_fail is not None:
         out = out.withColumn(

@@ -107,3 +107,29 @@ def test_multi_sink_duplication(spark, seq_df, tmp_path):
     assert (
         audit.join(nginx_only, "doc_id", "inner").count() == nginx_only.count()
     )
+
+
+def test_enriched_pipeline_matches_oracle(spark, seq_df, seq_path):
+    """decode → parse → ENRICH (broadcast dict-map + desensitize) → route,
+    fields compared exactly vs the python oracle's enrich model."""
+    import pyarrow.parquet as pq
+    from loongcollector_spark.plans.pipeline import default_enrich
+
+    t = pq.read_table(seq_path)
+    rows = list(zip(t["doc_id"].to_pylist(), t["tokens"].to_pylist(),
+                    t["n_tok"].to_pylist(), t["source"].to_pylist()))
+    expected = {r["doc_id"]: r for r in oracle.run_pipeline(
+        rows, NGINX_REGEX, list(NGINX_KEYS), list(DELIM_KEYS), enrich=True)}
+
+    routed = build_pipeline(seq_df, enrich=default_enrich(spark))
+    got = routed.select("doc_id", "fields", "route").collect()
+    assert len(got) == len(expected)
+    mismatches = []
+    for r in got:
+        exp = expected[r["doc_id"]]
+        if dict(r["fields"]) != exp["fields"] or r["route"] != exp["route"]:
+            mismatches.append((r["doc_id"], dict(r["fields"]), exp["fields"]))
+    assert not mismatches, f"{len(mismatches)} mismatches; first: {mismatches[:2]}"
+    # enrichment actually happened on nginx rows
+    n_cls = sum(1 for r in got if dict(r["fields"]).get("status_class"))
+    assert n_cls > 0
