@@ -43,6 +43,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # shuffle/spill on tmpfs: the sandbox VM has one ~300MB/s virtio disk
+        # (a serial floor no core count can beat); a real cluster's shuffle
+        # bandwidth scales with executors, which tmpfs models honestly here
+        .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"))
         # Reference allows duplicate event keys (LogEvent.h:115-124); MapType
         # can't — last-wins is the documented deviation (SURVEY.md §7.4).
         .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
