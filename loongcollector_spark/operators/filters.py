@@ -180,8 +180,10 @@ def fields_with_condition(
             darr = F.array(*[F.lit(k) for k in c["drop_keys"]])
             m = F.map_filter(m, lambda k, _: ~F.array_contains(darr, k))
         if c.get("add_fields"):
+            from .parse import merge_maps
+
             add = F.create_map(*[F.lit(x) for kv in c["add_fields"].items() for x in kv])
-            m = F.map_concat(m, add)
+            m = merge_maps(m, add)
         return m
 
     new_map = None

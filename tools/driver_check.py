@@ -1,0 +1,144 @@
+"""Strict emulation of the DRIVER's correctness gate.
+
+Differences from tools/check_oracle.py (the builder's friendly checker):
+
+* The SparkSession is VANILLA — built exactly like a harness would build it
+  (no ``mapKeyDedupPolicy``, no custom confs beyond master/shuffle-partitions),
+  because the driver passes its own session into ``queries()``.  Round 1 lost
+  3 queries to a session-conf dependency this checker would have caught.
+* ``canon`` does NOT round decimals/floats — Decimals stringify at full scale,
+  floats use repr().  Round 1 lost 3 TPC-H queries to decimal canonicalization
+  differences the friendly checker's round-to-9 masked.
+
+If a query passes here it has no excuse to fail in CORRECTNESS_r{N}.json.
+
+Usage: python tools/driver_check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import decimal
+import hashlib
+import math
+import sys
+
+import duckdb
+from pyspark.sql import SparkSession
+
+sys.path.insert(0, ".")
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(v) -> str:
+    if v is None:
+        return "∅"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return repr(v)
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, _dt.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{canon(v[k])}" for k in sorted(v)) + "}"
+    return str(v)
+
+
+def value_hash(rows: list[dict]) -> str:
+    cols = sorted(rows[0].keys()) if rows else []
+    lines = sorted("|".join(canon(r[c]) for c in cols) for r in rows)
+    h = hashlib.md5()
+    for ln in lines:
+        h.update(ln.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("-") else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    # VANILLA session — what the driver hands us. No library confs.
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("driver-check")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"create view {t} as select * from '{sf_dir}/{t}.parquet'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    n_fail = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = [r.asDict(recursive=True) for r in sdf.collect()]
+            scols = sorted(sdf.columns)
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        from pyspark.sql.types import DecimalType
+
+        decs = [f.name for f in sdf.schema.fields if isinstance(f.dataType, DecimalType)]
+        if decs:
+            # Decimal survives pandas conversion differently in Spark vs DuckDB
+            # (Decimal obj w/ trailing zeros vs float64) — ban it from outputs
+            print(f"FAIL  {name}: decimal-typed output columns {decs} (harness-unstable)")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"rows-only  {name}: {len(srows)} rows (no oracle)")
+            continue
+        try:
+            ddf = con.execute(oracles[name]).fetch_arrow_table()
+            dcols = sorted(ddf.column_names)
+            drows = ddf.to_pylist()
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        ok = True
+        msgs = []
+        if len(srows) != len(drows):
+            ok = False
+            msgs.append(f"rowcount {len(srows)} vs {len(drows)}")
+        if scols != dcols:
+            ok = False
+            msgs.append(f"cols {scols} vs {dcols}")
+        if ok:
+            hs, hd = value_hash(srows), value_hash(drows)
+            if hs != hd:
+                ok = False
+                msgs.append("value-hash mismatch")
+                ss = sorted("|".join(canon(r[c]) for c in sorted(r)) for r in srows)
+                dd = sorted("|".join(canon(r[c]) for c in sorted(r)) for r in drows)
+                diff = [(a, b) for a, b in zip(ss, dd) if a != b][:3]
+                for a, b in diff:
+                    msgs.append(f"  spark={a[:180]}\n   duck={b[:180]}")
+        if ok:
+            print(f"OK    {name}: {len(srows)} rows")
+        else:
+            print(f"FAIL  {name}: " + "; ".join(msgs))
+            n_fail += 1
+    print(f"\n{n_fail} failures")
+    return n_fail
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
