@@ -477,10 +477,15 @@ def q_dedup_exact_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_doc_grams=100 drops stop-grams (document frequency > 100) from the
+    gram sets BEFORE the inverted-index self-join — without it one hot gram
+    makes the join quadratic in its doc frequency (round-1: 41.5s at sf0.1).
+    The oracle mirrors the same df-filter, so Jaccard over the pruned
+    vocabulary stays fully checked."""
     from loongcollector_spark.operators.dedup import ngram_jaccard_pairs
 
     d = _t(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(d, n=2, threshold=0.3)
+    return ngram_jaccard_pairs(d, n=2, threshold=0.3, max_doc_grams=100)
 
 
 def q_charset_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -509,10 +514,27 @@ def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from loongcollector_spark.operators.dedup import embedding_dup_pairs
+    """Exact all-pairs cosine ≥ 0.4 via chunked GEMM (applyInPandas numpy
+    matmul per chunk-pair task) — same pair set as the round-1 nested-loop
+    form, but the plan is shuffle-by-task with no BroadcastNestedLoopJoin."""
+    from loongcollector_spark.operators.dedup import embedding_dup_pairs_exact
 
     e = _t(spark, sf_dir, "embeddings")
-    return embedding_dup_pairs(e, threshold=0.4)
+    return embedding_dup_pairs_exact(e, threshold=0.4, target_chunk=512)
+
+
+def q_embedding_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sub-quadratic scale path: hyperplane sign-bucket LSH candidates
+    (equi-join on (band, bucket)) + exact-cosine verify. The DuckDB oracle
+    mirrors the SAME plane literals and banding, so the candidate∩threshold
+    semantics are fully checked. At τ=0.4 banded-LSH recall is inherently low
+    (~18% with H=8,B=8 — see embedding_dup_pairs_lsh docstring); the operator
+    is tuned for the near-dup regime (recall ≈0.91 at cos 0.9, ≈0.998 at
+    0.95) where corpus dedup actually runs."""
+    from loongcollector_spark.operators.dedup import embedding_dup_pairs_lsh
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_dup_pairs_lsh(e, threshold=0.4, bands=8, planes_per_band=8, dim=64)
 
 
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -787,6 +809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "simhash_dups": q_simhash_dups,
         "embedding_dups": q_embedding_dups,
+        "embedding_dups_lsh": q_embedding_dups_lsh,
         "language_id": q_language_id,
         "quality_score": q_quality_score,
         "token_count_bpe": q_token_count_bpe,
@@ -801,6 +824,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multiline_merge": q_multiline_merge,
         "rate_limit": q_rate_limit,
     }
+
+
+def _lsh_oracle_sql() -> str:
+    """DuckDB twin of q_embedding_dups_lsh: identical hyperplane literals →
+    identical sign buckets → identical candidate set, then the same
+    exact-cosine ≥ τ filter."""
+    from loongcollector_spark.operators.dedup import hyperplane_bucket_sql
+
+    bexprs = hyperplane_bucket_sql(64, 8, 8, seed=7, vec_expr="vec")
+    band_sel = "\n              union all\n              ".join(
+        f"select vec_id, {b} as band, {expr} as bucket from v" for b, expr in enumerate(bexprs)
+    )
+    return f"""
+        with v as (select vec_id, cast(embedding as double[]) as vec from embeddings),
+        b as (
+              {band_sel}
+        ),
+        cand as (
+          select distinct a.vec_id as id_a, c.vec_id as id_b
+          from b a join b c on a.band = c.band and a.bucket = c.bucket and a.vec_id < c.vec_id
+        ),
+        pairs as (
+          select id_a, id_b, round(list_cosine_similarity(va.vec, vb.vec), 6) as cos
+          from cand
+          join v va on va.vec_id = id_a
+          join v vb on vb.vec_id = id_b
+        )
+        select id_a, id_b, cos from pairs where cos >= 0.4
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -828,12 +880,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ngram_jaccard": f"""
             with w as (select doc_id, string_split({norm}, ' ') as ws from documents),
-            g as (
+            g0 as (
               select distinct doc_id, gram from (
                 select doc_id,
                        unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) as gram
                 from w)
             ),
+            dfc as (select gram, count(*) as df_cnt from g0 group by 1),
+            g as (select g0.doc_id, g0.gram from g0 join dfc using (gram) where df_cnt <= 100),
             sz as (select doc_id, count(*) as sz from g group by 1),
             inter as (
               select a.doc_id as ia, b.doc_id as ib, count(*) as n_inter
@@ -864,6 +918,7 @@ def oracle_sql() -> dict[str, str]:
             where round(list_cosine_similarity(cast(a.embedding as double[]),
                                                cast(b.embedding as double[])), 6) >= 0.4
         """,
+        "embedding_dups_lsh": _lsh_oracle_sql(),
         "language_id": f"""
             with s as (
               select doc_id,

@@ -87,6 +87,64 @@ def test_embedding_dup_pairs(spark):
     assert set(pairs) == {(1, 2)} and pairs[(1, 2)] > 0.99
 
 
+def test_embedding_dup_pairs_exact_gemm(spark):
+    """Chunked-GEMM exact pairs == brute-force pairs, and the plan contains
+    no BroadcastNestedLoopJoin (round-1's scale-killer shape)."""
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    brute = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in D.embedding_dup_pairs(df, 0.3).collect()
+    }
+    gemm_df = D.embedding_dup_pairs_exact(df, 0.3, target_chunk=32)
+    plan = gemm_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    gemm = {(r["id_a"], r["id_b"]): r["cos"] for r in gemm_df.collect()}
+    assert brute.keys() == gemm.keys() and len(gemm) > 0
+    for k in brute:
+        assert abs(brute[k] - gemm[k]) < 2e-6
+
+
+def test_embedding_dup_pairs_lsh(spark):
+    """LSH pairs are a subset of exact pairs; high-cosine planted dup is
+    recovered; no nested-loop join in the plan."""
+    import random
+
+    rng = random.Random(5)
+    base = [rng.gauss(0, 1) for _ in range(64)]
+    near = [x + rng.gauss(0, 0.02) for x in base]
+    rows = [(0, base), (1, near)] + [
+        (i, [rng.gauss(0, 1) for _ in range(64)]) for i in range(2, 100)
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    lsh_df = D.embedding_dup_pairs_lsh(df, threshold=0.9, bands=8, planes_per_band=8, dim=64)
+    plan = lsh_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    lsh = {(r["id_a"], r["id_b"]) for r in lsh_df.collect()}
+    assert (0, 1) in lsh
+    exact = {(r["id_a"], r["id_b"]) for r in D.embedding_dup_pairs(df, 0.9).collect()}
+    assert lsh <= exact
+
+
+def test_ngram_jaccard_hot_gram_cap(spark):
+    """A hot gram shared by every doc must not create pairs when capped, and
+    Jaccard is computed over the pruned gram sets on both sides."""
+    rows = [(i, f"common prefix unique{i} word{i} tail{i}") for i in range(30)]
+    rows += [(100, "alpha beta gamma delta"), (101, "alpha beta gamma epsilon")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    # "common prefix" appears in 30 docs → pruned at cap 10; alpha/beta grams survive
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(df, n=2, threshold=0.3, max_doc_grams=10).collect()
+    }
+    assert set(pairs) == {(100, 101)}
+    # pruned-set Jaccard: grams {alpha beta, beta gamma, gamma delta|epsilon} → 2/4
+    assert abs(pairs[(100, 101)] - 0.5) < 1e-9
+
+
 def test_language_id(docs):
     out = {r["doc_id"]: r["lang_pred"] for r in X.language_id(docs).collect()}
     assert out[1] == "en" and out[4] == "fr" and out[6] == "es"
