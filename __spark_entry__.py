@@ -403,6 +403,159 @@ def q_desensitize_md5_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# geoip / cloud_meta / metadata_group / context_pack / split_log_regex /
+# appender templates / typed grok  (round-2 operator parity additions)
+# ---------------------------------------------------------------------------
+
+# Deterministic geo fixture: 3 /16-aligned ranges over 10.0.0.0/8, ips with
+# second octet 150-199 deliberately miss (HandleMissing visibility).
+GEO_RANGES = [
+    (0, 49, "Springfield", "West", "W1", "Freedonia", "FD", -73.5, 41.25),
+    (50, 99, "Shelbyville", "East", "E2", "Freedonia", "FD", -71.0, 42.5),
+    (100, 149, "Ogdenville", "North", "N3", "Sylvania", "SY", 12.75, 52.125),
+]
+
+
+def _geo_df(spark: SparkSession):
+    rows = [
+        (10 * 16777216 + a * 65536, 10 * 16777216 + b * 65536 + 65535, c, p, pc, co, cc, lo, la)
+        for a, b, c, p, pc, co, cc, lo, la in GEO_RANGES
+    ]
+    return spark.createDataFrame(
+        rows,
+        "ip_start long, ip_end long, city string, province string, province_code string,"
+        "country string, country_code string, longitude double, latitude double",
+    )
+
+
+def q_geoip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loongcollector_spark.operators.enrich import geoip
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "fields",
+        F.create_map(
+            F.lit("client_ip"),
+            F.concat(F.lit("10."), (F.col("user_id") % 200).cast("string"), F.lit(".7.33")),
+        ),
+    )
+    out = geoip(e, _geo_df(spark), "client_ip")
+    fld = F.col("fields")
+    return out.select(
+        "event_id",
+        fld["client_ip_city_"].alias("city"),
+        fld["client_ip_province_code_"].alias("province_code"),
+        fld["client_ip_country_"].alias("country"),
+        fld["client_ip_longitude_"].alias("longitude"),
+        fld["client_ip_latitude_"].alias("latitude"),
+    )
+
+
+def q_cloud_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loongcollector_spark.operators.enrich import cloud_meta
+
+    out = cloud_meta(
+        _cust_fields(spark, sf_dir),
+        metadata=["__cloud_instance_id__", "__cloud_region__", "__cloud_zone__"],
+        rename={"__cloud_instance_id__": "iid"},
+    )
+    fld = F.col("fields")
+    return out.select(
+        "c_custkey",
+        fld["iid"].alias("iid"),
+        fld["__cloud_region__"].alias("region"),
+        fld["__cloud_zone__"].alias("zone"),
+    )
+
+
+def q_metadata_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loongcollector_spark.operators.aggregate import metadata_group_counts
+
+    d = _t(spark, sf_dir, "documents")
+    return metadata_group_counts(d, ["source", "lang"], max_group_events=50, order_col="doc_id")
+
+
+def q_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loongcollector_spark.operators.aggregate import context_pack
+
+    d = _t(spark, sf_dir, "documents")
+    out = context_pack(d, order_col="doc_id", source_col="source", max_log_count=100)
+    return out.select("doc_id", "source", "__pack_id__")
+
+
+def q_split_log_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loongcollector_spark.operators.multiline import split_log_regex
+
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.concat(
+            F.lit("HDR "), F.col("p_brand"), F.lit("\n  detail one\n  detail two\nHDR "),
+            F.col("p_type"),
+        ).alias("content"),
+    )
+    out = split_log_regex(p, r"HDR .*")
+    return out.select("p_partkey", "event_seq", "content", "n_lines")
+
+
+def q_appender_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loongcollector_spark.operators.enrich import appender
+
+    out = appender(
+        _cust_fields(spark, sf_dir),
+        "name",
+        "|host={{__host__}}|env={{$MYENV}}|iid={{__cloud_instance_id__}}",
+        template_vars={"host": "testhost", "ip": "1.2.3.4", "env": {"MYENV": "prodenv"}},
+    )
+    return out.select("c_custkey", F.col("fields")["name"].alias("name2"))
+
+
+def q_appender_sort_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loongcollector_spark.operators.enrich import appender
+
+    c = _t(spark, sf_dir, "customer").withColumn(
+        "fields",
+        F.create_map(
+            F.lit("lab"),
+            F.concat(
+                F.lit("z#$#"), F.col("c_mktsegment"), F.lit("|a#$#"),
+                F.col("c_custkey").cast("string"),
+            ),
+        ),
+    )
+    out = appender(c, "lab", "|m#$#x", sort_labels=True)
+    return out.select("c_custkey", F.col("fields")["lab"].alias("labels"))
+
+
+GROK_TYPED_PATTERN = "%{WORD:w1} %{NONNEGINT:num:int} %{GREEDYDATA:rest}"
+
+
+def q_grok_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed grok: the :int hint becomes a CAST top-level column — the
+    driver's schema check proves the bigint type."""
+    from loongcollector_spark.operators.grok import parse_grok
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "content",
+        F.concat(F.col("event_type"), F.lit(" "), F.col("user_id").cast("string"), F.lit(" tail")),
+    )
+    out = parse_grok(e, [GROK_TYPED_PATTERN], full_match=True, typed_columns=True)
+    return out.select("event_id", F.col("fields")["w1"].alias("w1"), F.col("num").alias("num"))
+
+
+def q_encrypt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AES-128-CBC/PKCS with explicit IV is deterministic — rows+schema checked
+    (DuckDB has no AES; the known-answer vector lives in pytest)."""
+    from loongcollector_spark.operators.enrich import encrypt_fields
+
+    out = encrypt_fields(
+        _cust_fields(spark, sf_dir),
+        ["name"],
+        key_hex="000102030405060708090a0b0c0d0e0f",
+        iv_hex="101112131415161718191a1b1c1d1e1f",
+    )
+    return out.select("c_custkey", F.col("fields")["name"].alias("name_enc"))
+
+
+# ---------------------------------------------------------------------------
 # Dedup / text stats / similarity (training-data pipeline ops)
 # ---------------------------------------------------------------------------
 
@@ -802,6 +955,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "log_to_metric": q_log_to_metric,
         "base64_decode": q_base64_decode,
         "desensitize_md5_mode": q_desensitize_md5_mode,
+        # round-2 operator parity
+        "geoip": q_geoip,
+        "cloud_meta": q_cloud_meta,
+        "metadata_group": q_metadata_group,
+        "context_pack": q_context_pack,
+        "split_log_regex": q_split_log_regex,
+        "appender_template": q_appender_template,
+        "appender_sort_labels": q_appender_sort_labels,
+        "grok_typed": q_grok_typed,
+        "encrypt": q_encrypt,
         # training-data ops v2
         "dedup_exact_norm": q_dedup_exact_norm,
         "ngram_jaccard": q_ngram_jaccard,
@@ -824,6 +987,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multiline_merge": q_multiline_merge,
         "rate_limit": q_rate_limit,
     }
+
+
+def _geoip_oracle_sql() -> str:
+    vals = ", ".join(
+        f"({10 * 16777216 + a * 65536}, {10 * 16777216 + b * 65536 + 65535}, "
+        f"'{c}', '{pc}', '{co}', {lo!r}, {la!r})"
+        for a, b, c, _p, pc, co, _cc, lo, la in GEO_RANGES
+    )
+    return f"""
+        with e as (
+          select event_id,
+                 cast(10 * 16777216 + (user_id % 200) * 65536 + 7 * 256 + 33 as bigint) as ip
+          from events),
+        geo(s, en, city, province_code, country, lon, lat) as (values {vals})
+        select e.event_id, g.city, g.province_code, g.country,
+               case when g.lon is not null then printf('%.8f', g.lon) end as longitude,
+               case when g.lat is not null then printf('%.8f', g.lat) end as latitude
+        from e left join geo g on e.ip between g.s and g.en
+    """
 
 
 def _lsh_oracle_sql() -> str:
@@ -1073,6 +1255,51 @@ def oracle_sql() -> dict[str, str]:
             where regexp_matches(cast(round("value", 4) as varchar), '^-?\\d+(\\.\\d+)?$')
         """,
         "base64_decode": "select p_partkey, p_type as decoded from part",
+        "geoip": _geoip_oracle_sql(),
+        "cloud_meta": """
+            select c_custkey, 'i-mock0001' as iid, 'mock-region-1' as region,
+                   'mock-zone-a' as zone
+            from customer
+        """,
+        "metadata_group": """
+            select source, lang, cast(floor((rn - 1) / 50) as bigint) as group_seq,
+                   count(*) as n_events
+            from (select source, lang,
+                         row_number() over (partition by source, lang order by doc_id) as rn
+                  from documents)
+            group by 1, 2, 3
+        """,
+        "context_pack": """
+            select doc_id, source,
+                   upper(substr(md5('pipeline-' || source), 1, 16)) || '-' ||
+                   upper(hex(cast(floor((rn - 1) / 100) + 1 as bigint))) as __pack_id__
+            from (select doc_id, source,
+                         row_number() over (partition by source order by doc_id) as rn
+                  from documents)
+        """,
+        "split_log_regex": """
+            select p_partkey, cast(1 as bigint) as event_seq,
+                   'HDR ' || p_brand || chr(10) || '  detail one' || chr(10) || '  detail two'
+                     as content,
+                   cast(3 as bigint) as n_lines
+            from part
+            union all
+            select p_partkey, cast(2 as bigint), 'HDR ' || p_type, cast(1 as bigint) from part
+        """,
+        "appender_template": """
+            select c_custkey,
+                   c_name || '|host=testhost|env=prodenv|iid=i-mock0001' as name2
+            from customer
+        """,
+        "appender_sort_labels": """
+            select c_custkey,
+                   'a#$#' || cast(c_custkey as varchar) || '|m#$#x|z#$#' || c_mktsegment
+                     as labels
+            from customer
+        """,
+        "grok_typed": """
+            select event_id, event_type as w1, cast(user_id as bigint) as num from events
+        """,
         # SQL-expressible for this fixture because each c_name has exactly ONE
         # digit run — general callback-replace is not SQL-expressible
         "desensitize_md5_mode": r"""

@@ -77,3 +77,87 @@ def sink_counts(routed: DataFrame, route_col: str = "route") -> DataFrame:
     return routed.groupBy(route_col).agg(
         F.count(F.lit(1)).alias("n_rows"), F.sum("n_tok").alias("n_tok_sum")
     )
+
+
+def metadata_group(
+    df: DataFrame,
+    group_keys: list[str],
+    max_group_events: int = 1024,
+    order_col: str | None = None,
+    tags_col: str = "tags",
+    group_col: str = "__group_seq__",
+) -> DataFrame:
+    """aggregator_metadata_group (plugins/aggregator/metadatagroup/
+    aggregator_metadata_group.go:48-120,203-240): regroup events by selected
+    metadata keys into batches capped at GroupMaxEventLength.
+
+    Keys resolve against promoted columns first, else the ``tags`` map. Each
+    event is tagged with its batch index (row_number within the metadata
+    group ÷ cap) — one window shuffle on the group keys; a sink then writes
+    one object per (metadata, batch). The byte-cap variant
+    (GroupMaxByteLength) maps to sources/io.py file sizing, declared there."""
+    from pyspark.sql.window import Window
+
+    keys = [
+        (F.col(k) if k in df.columns else F.col(tags_col)[k]).alias(f"__mg_{k}")
+        for k in group_keys
+    ]
+    tagged = df.select("*", *keys)
+    order = [order_col] if order_col else [F.monotonically_increasing_id()]
+    w = Window.partitionBy(*[f"__mg_{k}" for k in group_keys]).orderBy(*order)
+    seq = F.row_number().over(w)
+    return tagged.withColumn(
+        group_col, F.floor((seq - F.lit(1)) / F.lit(max_group_events)).cast("long")
+    )
+
+
+def metadata_group_counts(
+    df: DataFrame,
+    group_keys: list[str],
+    max_group_events: int = 1024,
+    order_col: str | None = None,
+    tags_col: str = "tags",
+) -> DataFrame:
+    """Per-(metadata, batch) sizes — the observable contract of
+    aggregator_metadata_group for the correctness gate."""
+    g = metadata_group(df, group_keys, max_group_events, order_col, tags_col)
+    return (
+        g.groupBy(*[F.col(f"__mg_{k}").alias(k) for k in group_keys], "__group_seq__")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .withColumnRenamed("__group_seq__", "group_seq")
+    )
+
+
+def context_pack(
+    df: DataFrame,
+    order_col: str,
+    source_col: str = "source",
+    max_log_count: int = 1024,
+    config_name: str = "pipeline",
+    pack_col: str = "__pack_id__",
+) -> DataFrame:
+    """aggregator_context (plugins/aggregator/context/aggregator_context.go:
+    30-140): per-source order preservation + ``__pack_id__`` lineage tag.
+
+    pack_id = ``{PREFIX}-{SEQ:X}`` where PREFIX identifies the (config,
+    source) stream and SEQ is the 1-based index of the ≤MaxLogCount batch in
+    source order (util.NewPackIDPrefix / NewLogTagForPackID,
+    pkg/util/util.go:371-385). DEVIATION: the reference salts the prefix with
+    host IP + wall time; ours is md5(config + source) so reruns and the
+    DuckDB oracle reproduce it — lineage must be deterministic for
+    checkpoint resume.
+
+    Order preservation: repartition by source then sortWithinPartitions on
+    (source, order) — each source's events are contiguous and ordered within
+    a partition, the Spark analog of the per-source LogGroup append order."""
+    from pyspark.sql.window import Window
+
+    prefix = F.upper(
+        F.substring(F.md5(F.concat(F.lit(config_name + "-"), F.col(source_col)).cast("binary")), 1, 16)
+    )
+    w = Window.partitionBy(source_col).orderBy(order_col)
+    seq = F.row_number().over(w)
+    pack_seq = (F.floor((seq - F.lit(1)) / F.lit(max_log_count)) + F.lit(1)).cast("long")
+    pack_id = F.concat(prefix, F.lit("-"), F.upper(F.hex(pack_seq)))
+    out = df.withColumn(pack_col, pack_id)
+    return out.repartition(F.col(source_col)).sortWithinPartitions(source_col, order_col)

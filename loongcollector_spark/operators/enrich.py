@@ -109,10 +109,88 @@ def add_fields(
     return df.withColumn(fields_col, merge_maps(base, add))
 
 
-def appender(df: DataFrame, key: str, value: str, fields_col: str = "fields") -> DataFrame:
-    """processor_appender: concatenate ``value`` onto existing field ``key``."""
+# processor_appender / processor_cloud_meta metadata source. The reference
+# reads a live cloud platform API (pkg/helper/platformmeta/interface.go:18-28);
+# this deterministic mock stands in — swap a real provider dict in production.
+MOCK_CLOUD_META: dict[str, str] = {
+    "__cloud_instance_id__": "i-mock0001",
+    "__cloud_instance_name__": "mock-instance",
+    "__cloud_region__": "mock-region-1",
+    "__cloud_zone__": "mock-zone-a",
+    "__cloud_instance_type__": "mock.large",
+    "__cloud_image_id__": "img-mock",
+    "__cloud_vpc_id__": "vpc-mock",
+    "__cloud_vswitch_id__": "vsw-mock",
+}
+
+_TEMPLATE_RE = re.compile(r"\{\{([^}]*)\}\}")
+
+
+def expand_appender_template(
+    value: str,
+    env: dict[str, str] | None = None,
+    ip: str = "127.0.0.1",
+    host: str = "localhost",
+    cloud: dict[str, str] | None = None,
+) -> str:
+    """Plan-build-time expansion of appender ``{{...}}`` templates
+    (processor_appender.go:55-63,118-133): ``{{$NAME}}`` → env var,
+    ``{{__ip__}}`` → ip, ``{{__host__}}`` → host, ``{{__cloud_*__}}`` → cloud
+    metadata; unknown keys expand to themselves. ``env``/``ip``/``host`` are
+    injectable for deterministic tests (the reference reads the live host)."""
+    import os
+
+    env = dict(os.environ) if env is None else env
+    cloud = MOCK_CLOUD_META if cloud is None else cloud
+
+    def repl(m: re.Match) -> str:
+        key = m.group(1)
+        if not key:
+            return ""
+        if key[0] == "$":
+            return env.get(key[1:], "")
+        if key == "__ip__":
+            return ip
+        if key == "__host__":
+            return host
+        if key in cloud:
+            return cloud[key]
+        return key
+
+    return _TEMPLATE_RE.sub(repl, value)
+
+
+def sort_labels_value(col: Column) -> Column:
+    """SortLabels post-step (processor_appender.go:93-105): parse the value as
+    ``k#$#v|k#$#v…`` metric labels and re-emit sorted by key; values without
+    any valid ``#$#`` pair are left untouched (MetricLabels.Len()==0 guard)."""
+    labels = F.split(col, r"\|")
+    valid = F.filter(labels, lambda l: l.contains("#$#"))
+    structs = F.transform(
+        valid, lambda l: F.struct(F.substring_index(l, "#$#", 1).alias("k"), l.alias("l"))
+    )
+    sorted_val = F.array_join(F.transform(F.array_sort(structs), lambda s: s["l"]), "|")
+    return F.when(F.size(valid) > 0, sorted_val).otherwise(col)
+
+
+def appender(
+    df: DataFrame,
+    key: str,
+    value: str,
+    fields_col: str = "fields",
+    sort_labels: bool = False,
+    template_vars: dict | None = None,
+) -> DataFrame:
+    """processor_appender: concatenate ``value`` onto existing field ``key``
+    (creating it if absent, .go:76-84). ``{{...}}`` templates expand once at
+    plan-build time via expand_appender_template; ``sort_labels`` re-sorts the
+    resulting ``k#$#v|…`` label string by key (.go:93-105)."""
+    if "{{" in value:
+        value = expand_appender_template(value, **(template_vars or {}))
     base = F.col(fields_col)
     new = F.concat(F.coalesce(base[key], F.lit("")), F.lit(value))
+    if sort_labels:
+        new = sort_labels_value(new)
     return df.withColumn(fields_col, _set_field(base, key, new, F.lit(True)))
 
 
@@ -311,7 +389,10 @@ def encrypt_fields(
     df: DataFrame, keys: list[str], key_hex: str, iv_hex: str | None = None, fields_col: str = "fields"
 ) -> DataFrame:
     """processor_encrypt: AES-CBC encrypt listed fields, hex output
-    (plugins/processor/encrypt/processor_encrypt.go:41). Native aes_encrypt."""
+    (plugins/processor/encrypt/processor_encrypt.go:41). Native aes_encrypt.
+    NOTE: Spark prepends the IV to CBC output — the bytes after the 16-byte
+    prefix are the OpenSSL-compatible ciphertext (known-answer test in
+    tests/test_parsers.py::test_encrypt_known_answer)."""
     base = F.col(fields_col)
     key_b = F.unhex(F.lit(key_hex))
     iv_b = F.unhex(F.lit(iv_hex)) if iv_hex else F.lit(b"")
@@ -369,3 +450,132 @@ def log_to_metric(
         out = out.withColumn("__time_nano__", (base[time_key].cast("double") * 1e9).cast("long"))
     # strict metric-name validation (logtoslsmetric .go:172)
     return out.filter(F.col("__name__").rlike(r"^[a-zA-Z_:][a-zA-Z0-9_:]*$") & F.col("__value__").rlike(r"^-?\d+(\.\d+)?$"))
+
+
+# ---------------------------------------------------------------------------
+# geoip (processor_geoip) & cloud_meta (processor_cloud_meta)
+# ---------------------------------------------------------------------------
+
+def ipv4_to_long(col: Column) -> Column:
+    """Dotted-quad IPv4 → uint32 (null on malformed / out-of-range octets)."""
+    valid = col.rlike(r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$")
+    parts = F.split(col, r"\.")
+    octs = [parts[i].cast("long") for i in range(4)]
+    in_range = octs[0] <= 255
+    for o in octs[1:]:
+        in_range = in_range & (o <= 255)
+    val = octs[0] * 16777216 + octs[1] * 65536 + octs[2] * 256 + octs[3]
+    return F.when(valid & in_range, val)
+
+
+def geoip(
+    df: DataFrame,
+    geo_df: DataFrame,
+    source_key: str,
+    keep_source: bool = True,
+    ip_value_flag: bool = False,
+    no_coordinate: bool = False,
+    fields_col: str = "fields",
+    source_is_field: bool = True,
+) -> DataFrame:
+    """processor_geoip (plugins/processor/geoip/processor_geoip.go:35-165)
+    re-expressed as a BROADCAST blocked range join — no mmdb reader, the geo
+    database is a DataFrame of IP ranges
+    ``(ip_start long, ip_end long, city, province, province_code, country,
+    country_code, longitude double, latitude double)``.
+
+    Scale shape: each range is exploded into the /16 blocks it spans, the fact
+    side joins on ``block = ip >> 16`` equality (BroadcastHashJoin) with the
+    range check as a join filter — never a nested-loop range join. Emitted
+    keys mirror the reference: ``{source_key}_city_``, ``_province_``,
+    ``_province_code_``, ``_country_``, ``_country_code_``, ``_longitude_``,
+    ``_latitude_`` (coordinates FormatFloat 'f' 8, .go:160-162); each written
+    only when the geo column is non-null. ``ip_value_flag`` treats the source
+    as a LITTLE-endian decimal IP (inetNtoa, .go:113-121);
+    ``keep_source=False`` drops the source key (.go:98-104)."""
+    src = F.col(fields_col)[source_key] if source_is_field else F.col(source_key)
+    if ip_value_flag:
+        n = src.cast("long")
+        ip_long = F.when(
+            n.isNotNull() & (n >= 0) & (n <= 4294967295),
+            # inetNtoa byte-reverses the integer
+            (n % 256) * 16777216 + ((n / 256).cast("long") % 256) * 65536
+            + ((n / 65536).cast("long") % 256) * 256 + (n / 16777216).cast("long"),
+        )
+    else:
+        ip_long = ipv4_to_long(src)
+    blocks = F.explode(
+        F.sequence(
+            (F.col("ip_start") / 65536).cast("long"), (F.col("ip_end") / 65536).cast("long")
+        )
+    )
+    geo_b = geo_df.select(F.struct(*geo_df.columns).alias("__geo"), blocks.alias("__blk"))
+    fact = df.withColumn("__ip_long", ip_long).withColumn(
+        "__ip_blk", (F.col("__ip_long") / 65536).cast("long")
+    )
+    joined = fact.join(
+        broadcast(geo_b),
+        (F.col("__ip_blk") == F.col("__blk"))
+        & (F.col("__ip_long") >= F.col("__geo.ip_start"))
+        & (F.col("__ip_long") <= F.col("__geo.ip_end")),
+        "left",
+    )
+    g = F.col("__geo")
+    coord = lambda c: F.format_string("%.8f", g[c])  # noqa: E731
+    emit: list[tuple[str, Column]] = [
+        (f"{source_key}_city_", g["city"]),
+        (f"{source_key}_province_", g["province"]),
+        (f"{source_key}_province_code_", g["province_code"]),
+        (f"{source_key}_country_", g["country"]),
+        (f"{source_key}_country_code_", g["country_code"]),
+    ]
+    if not no_coordinate:
+        emit += [
+            (f"{source_key}_longitude_", coord("longitude")),
+            (f"{source_key}_latitude_", coord("latitude")),
+        ]
+    base = F.coalesce(F.col(fields_col), F.create_map().cast("map<string,string>"))
+    if source_is_field and not keep_source:
+        base = F.map_from_entries(
+            F.filter(F.map_entries(base), lambda e: e["key"] != F.lit(source_key))
+        )
+    add = _entries_map(*[_opt_entry(k, v, v.isNotNull()) for k, v in emit])
+    out = joined.withColumn(fields_col, merge_maps(base, add))
+    return out.drop("__geo", "__blk", "__ip_long", "__ip_blk")
+
+
+def cloud_meta(
+    df: DataFrame,
+    metadata: list[str],
+    rename: dict[str, str] | None = None,
+    json_path: str | None = None,
+    provider: dict[str, str] | None = None,
+    fields_col: str = "fields",
+) -> DataFrame:
+    """processor_cloud_meta (plugins/processor/cloudmeta/cloud_meta.go:33-140).
+
+    Append mode (no ``json_path``): selected metadata keys (renamed per
+    ``RenameMetadata``) merge into the fields map. JSON mode: the metadata
+    merges into the flat JSON object held in field ``json_path`` (top-level
+    path only — the reference's arbitrary-depth JSONPath insert is documented
+    as out of scope; nested non-string values round-trip as serialized JSON).
+    ``provider`` defaults to the deterministic MOCK_CLOUD_META (the container
+    has no cloud metadata endpoint)."""
+    src = provider or MOCK_CLOUD_META
+    rename = rename or {}
+    meta = {rename.get(k, k): src[k] for k in metadata if k in src}
+    add = F.create_map(*[F.lit(x) for kv in meta.items() for x in kv])
+    base = F.coalesce(F.col(fields_col), F.create_map().cast("map<string,string>"))
+    if json_path is None:
+        return df.withColumn(fields_col, merge_maps(base, add))
+    if "." in json_path:
+        raise NotImplementedError(
+            "nested JSONPath insert (cloud_meta.go:120-140) not supported; "
+            "use a top-level key"
+        )
+    obj = F.coalesce(
+        F.from_json(base[json_path], "map<string,string>"),
+        F.create_map().cast("map<string,string>"),
+    )
+    packed = F.to_json(merge_maps(obj, add))
+    return df.withColumn(fields_col, _set_field(base, json_path, packed, F.lit(True)))

@@ -131,10 +131,15 @@ def expand(
     return out, fields
 
 
+_GROK_TYPE_TO_SPARK = {"int": "long", "long": "long", "float": "double", "string": "string"}
+
+
 def compile_grok(
     match_patterns: list[str], lib: dict[str, str] | None = None, full_match: bool = False
-) -> list[tuple[str, list[str]]]:
-    """Expand every match pattern once in the driver → [(regex, keys)].
+) -> list[tuple[str, list[str], dict[str, str]]]:
+    """Expand every match pattern once in the driver → [(regex, keys, types)]
+    where ``types`` maps hinted fields (%{PAT:field:int|float}) to Spark type
+    names (processor_grok.go:54,377 parses the same hint grammar).
 
     ``full_match=False`` (reference default — grok searches, .go:148) embeds
     the pattern in ``^.*?(…).*$`` wrappers handled at evaluation time."""
@@ -142,11 +147,12 @@ def compile_grok(
     for p in match_patterns:
         rx, fields = expand(p, lib)
         keys = [f for f, _ in fields]
+        types = {f: _GROK_TYPE_TO_SPARK[t] for f, t in fields if t}
         if not keys:
             raise GrokError(f"pattern has no named captures: {p!r}")
         if not full_match:
             rx = r"(?s)^.*?" + rx + r".*$"
-        out.append((rx, keys))
+        out.append((rx, keys, types))
     return out
 
 
@@ -169,7 +175,7 @@ def grok_fields(
     compiled = compile_grok(match_patterns, lib, full_match)
     maps: list[Column] = []
     ok_any: Column | None = None
-    for rx, keys in compiled:
+    for rx, keys, _types in compiled:
         gate = en if ok_any is None else en & ~ok_any
         m, ok = P.regex_fields(
             src,
@@ -197,11 +203,24 @@ def parse_grok(
     full_match: bool = False,
     opts: P.ParserOptions = P.ParserOptions(keep_source_on_success=True),
     ignore_parse_failure: bool = True,
+    typed_columns: bool = False,
 ) -> DataFrame:
     """DataFrame wrapper. ``ignore_parse_failure=False`` drops unmatched rows
-    (IgnoreParseFailure config, .go:360-375)."""
+    (IgnoreParseFailure config, .go:360-375). ``typed_columns=True`` applies
+    the %{PAT:field:int|float} hints (.go:54,377) as CAST top-level columns —
+    the fields map stays string-typed (LogContents are strings), the typed
+    projection is the Spark-native reading of the hint."""
     m, ok = grok_fields(F.col(source_col), match_patterns, lib, full_match, opts)
     out = P._finalize_fields(df, m, ok, fields_col, opts)
     if not ignore_parse_failure:
         out = out.filter(F.col(P.PARSE_OK))
+    if typed_columns:
+        hinted: dict[str, str] = {}
+        for _rx, _keys, types in compile_grok(match_patterns, lib, full_match):
+            for f, t in types.items():
+                hinted.setdefault(f, t)
+        for f, t in hinted.items():
+            # try_cast: a hinted field that fails the cast yields null rather
+            # than an ANSI error (Spark 4 default ANSI mode)
+            out = out.withColumn(f, F.col(fields_col)[f].try_cast(t))
     return out

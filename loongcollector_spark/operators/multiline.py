@@ -94,3 +94,65 @@ def split_lines(
         .withColumn(content_col, F.col("_ln.line"))
         .drop("_ln")
     )
+
+
+def split_log_regex(
+    df: DataFrame,
+    split_regex: str,
+    content_col: str = "content",
+    preserve_others: bool = True,
+    joiner: str = "\n",
+) -> DataFrame:
+    """processor_split_log_regex (plugins/processor/split/logregex/
+    split_log_regex.go:57-125): split a multi-line blob into events — a line
+    FULL-matching SplitRegex starts a new event, following non-matching lines
+    attach to it, and any leading unmatched lines form one event of their own
+    (the Go scanner flushes everything before the first matching line as a
+    single chunk).
+
+    Spark formulation: explode lines per input row, running count of
+    full-matches = event id, group back — all per-row (no cross-row shuffle:
+    the window partitions on a per-input-row id). Returns the input columns
+    (``preserve_others``) plus ``(event_seq, content, n_lines)``."""
+    anchored = split_regex
+    if not anchored.startswith("^"):
+        anchored = "^(?:" + anchored + ")"
+    if not anchored.endswith("$"):
+        anchored = anchored + "$"
+    rid = F.monotonically_increasing_id()
+    lines = F.split(F.col(content_col), "\n", -1)
+    others = [c for c in df.columns if c != content_col] if preserve_others else []
+    exploded = (
+        df.withColumn("__rid", rid)
+        .select(
+            "__rid",
+            *others,
+            F.posexplode(lines).alias("__ln", "__line"),
+        )
+    )
+    is_start = F.col("__line").rlike(anchored)
+    w = Window.partitionBy("__rid").orderBy("__ln")
+    seq = F.sum(F.when(is_start, 1).otherwise(0)).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # leading unmatched lines keep seq 0 → ONE chunk of their own
+    # (split_log_regex.go:64-70 flushes everything before the first matching
+    # line as a single event, unlike merge_multiline's single_line mode)
+    tagged = exploded.withColumn("__evt", seq)
+    return (
+        tagged.groupBy("__rid", *others, "__evt")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("__ln").alias("o"), F.col("__line").alias("c")))
+                    ),
+                    lambda s: s["c"],
+                ),
+                joiner,
+            ).alias(content_col),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .withColumnRenamed("__evt", "event_seq")
+        .drop("__rid")
+    )

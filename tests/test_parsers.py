@@ -187,3 +187,165 @@ def test_parse_timestamp_discard_old(spark):
     ).withColumn("fields", F.create_map(F.lit("t"), F.col("t")))
     out = P.parse_timestamp(df, "t", "yyyy-MM-dd HH:mm:ss", discard_before="2020-01-01")
     assert [r["id"] for r in out.collect()] == [2]
+
+
+# ---------------------------------------------------------------------------
+# round-2 parity operators: geoip / cloud_meta / metadata_group / context_pack
+# / split_log_regex / appender templates+SortLabels / typed grok / encrypt KAT
+# ---------------------------------------------------------------------------
+
+def test_geoip_broadcast_range(spark):
+    from loongcollector_spark.operators.enrich import geoip
+    import pyspark.sql.functions as F
+
+    geo = spark.createDataFrame(
+        [(167772160, 171048959, "CityA", "ProvA", "PA", "CountryA", "CA", -73.5, 41.25)],
+        "ip_start long, ip_end long, city string, province string, province_code string,"
+        "country string, country_code string, longitude double, latitude double",
+    )  # 10.0.0.0 - 10.49.255.255
+    df = spark.createDataFrame(
+        [(1, "10.3.7.9"), (2, "10.200.0.1"), (3, "not-an-ip"), (4, "999.1.1.1")],
+        "id int, ip string",
+    ).withColumn("fields", F.create_map(F.lit("ip"), F.col("ip")))
+    out = {r["id"]: r["fields"] for r in geoip(df, geo, "ip").collect()}
+    assert out[1]["ip_city_"] == "CityA"
+    assert out[1]["ip_longitude_"] == "-73.50000000"
+    assert "ip_city_" not in out[2] and "ip_city_" not in out[3] and "ip_city_" not in out[4]
+    # keep_source=False drops the source key
+    out2 = {r["id"]: r["fields"] for r in geoip(df, geo, "ip", keep_source=False).collect()}
+    assert "ip" not in out2[1] and out2[1]["ip_country_"] == "CountryA"
+    # ip_value_flag: little-endian decimal (inetNtoa) — 10.3.7.9 -> bytes
+    # reversed int 9*2^24 + 7*2^16 + 3*2^8 + 10
+    df3 = spark.createDataFrame([(1, str(9 * 16777216 + 7 * 65536 + 3 * 256 + 10))], "id int, ip string").withColumn(
+        "fields", F.create_map(F.lit("ip"), F.col("ip"))
+    )
+    out3 = {r["id"]: r["fields"] for r in geoip(df3, geo, "ip", ip_value_flag=True).collect()}
+    assert out3[1]["ip_city_"] == "CityA"
+
+
+def test_cloud_meta_modes(spark):
+    from loongcollector_spark.operators.enrich import cloud_meta
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame([(1,)], "id int").withColumn(
+        "fields", F.create_map(F.lit("payload"), F.lit('{"a":"1"}'))
+    )
+    out = cloud_meta(df, ["__cloud_region__"], rename={"__cloud_region__": "region"}).collect()
+    assert out[0]["fields"]["region"] == "mock-region-1"
+    # json mode merges into the flat object held at the top-level path
+    outj = cloud_meta(df, ["__cloud_region__"], json_path="payload").collect()
+    import json
+    obj = json.loads(outj[0]["fields"]["payload"])
+    assert obj == {"a": "1", "__cloud_region__": "mock-region-1"}
+
+
+def test_metadata_group_caps(spark):
+    from loongcollector_spark.operators.aggregate import metadata_group_counts
+
+    rows = [(i, "s1" if i < 120 else "s2", "en") for i in range(150)]
+    df = spark.createDataFrame(rows, "doc_id int, source string, lang string")
+    out = {
+        (r["source"], r["group_seq"]): r["n_events"]
+        for r in metadata_group_counts(df, ["source", "lang"], 50, order_col="doc_id").collect()
+    }
+    assert out[("s1", 0)] == 50 and out[("s1", 1)] == 50 and out[("s1", 2)] == 20
+    assert out[("s2", 0)] == 30
+
+
+def test_context_pack_order_and_lineage(spark):
+    from loongcollector_spark.operators.aggregate import context_pack
+
+    rows = [(i, f"src{i % 3}") for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id int, source string")
+    out = context_pack(df, order_col="doc_id", source_col="source", max_log_count=10)
+    # per-source order preserved within partitions (the aggregator_context
+    # contract): rows of one source are contiguous and doc_id-ascending
+    parts = out.select("source", "doc_id", "__pack_id__").rdd.glom().collect()
+    for part in parts:
+        seen = []
+        for row in part:
+            if seen and seen[-1][0] == row["source"]:
+                assert seen[-1][1] < row["doc_id"]
+            seen.append((row["source"], row["doc_id"]))
+        # contiguity: a source never reappears after another source started
+        order = [s for s, _ in seen]
+        assert order == sorted(order, key=lambda s: order.index(s))
+    # pack seq increments every max_log_count within a source
+    rows = {(r["source"], r["doc_id"]): r["__pack_id__"] for r in out.collect()}
+    assert rows[("src0", 0)].endswith("-1") and rows[("src0", 30)].endswith("-2")
+    prefix0 = rows[("src0", 0)].split("-")[0]
+    assert all(v.split("-")[0] == prefix0 for (s, _), v in rows.items() if s == "src0")
+
+
+def test_split_log_regex_semantics(spark):
+    from loongcollector_spark.operators.multiline import split_log_regex
+
+    df = spark.createDataFrame(
+        [(1, "lead1\nlead2\nHDR a\n cont\nHDR b"), (2, "no match at all\nstill none")],
+        "id int, content string",
+    )
+    out = {(r["id"], r["event_seq"]): r for r in split_log_regex(df, r"HDR .*").collect()}
+    # leading unmatched lines form ONE chunk (Go flushes them together)
+    assert out[(1, 0)]["content"] == "lead1\nlead2" and out[(1, 0)]["n_lines"] == 2
+    assert out[(1, 1)]["content"] == "HDR a\n cont"
+    assert out[(1, 2)]["content"] == "HDR b"
+    assert out[(2, 0)]["content"] == "no match at all\nstill none"
+
+
+def test_appender_templates_and_sort_labels(spark):
+    from loongcollector_spark.operators.enrich import appender, expand_appender_template
+    import pyspark.sql.functions as F
+
+    assert (
+        expand_appender_template(
+            "x={{$E}},ip={{__ip__}},h={{__host__}},c={{__cloud_region__}},u={{nope}}",
+            env={"E": "ev"}, ip="9.9.9.9", host="hh",
+        )
+        == "x=ev,ip=9.9.9.9,h=hh,c=mock-region-1,u=nope"
+    )
+    df = spark.createDataFrame([(1,)], "id int").withColumn(
+        "fields", F.create_map(F.lit("lab"), F.lit("z#$#1|a#$#2"))
+    )
+    out = appender(df, "lab", "|m#$#3", sort_labels=True).collect()
+    assert out[0]["fields"]["lab"] == "a#$#2|m#$#3|z#$#1"
+    # values without any k#$#v pair stay as-is
+    df2 = spark.createDataFrame([(1,)], "id int").withColumn(
+        "fields", F.create_map(F.lit("v"), F.lit("plain"))
+    )
+    out2 = appender(df2, "v", "-tail", sort_labels=True).collect()
+    assert out2[0]["fields"]["v"] == "plain-tail"
+
+
+def test_grok_typed_columns(spark):
+    from loongcollector_spark.operators.grok import parse_grok
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame([(1, "click 42 tail"), (2, "view notanint tail")], "id int, content string")
+    out = parse_grok(
+        df, ["%{WORD:w1} %{NOTSPACE:num:int} %{GREEDYDATA:rest}"], full_match=True,
+        typed_columns=True,
+    )
+    assert dict(out.dtypes)["num"] == "bigint"
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["num"] == 42 and rows[2]["num"] is None  # try_cast null on bad int
+
+
+def test_encrypt_known_answer(spark):
+    """AES-128-CBC/PKCS known-answer vectors generated with OpenSSL:
+    enc -aes-128-cbc -K 000102..0f -iv 101112..1f."""
+    from loongcollector_spark.operators.enrich import encrypt_fields
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame([(1, "hello world"), (2, "Customer#000000001")], "id int, v string").withColumn(
+        "fields", F.create_map(F.lit("v"), F.col("v"))
+    )
+    out = encrypt_fields(
+        df, ["v"], key_hex="000102030405060708090a0b0c0d0e0f",
+        iv_hex="101112131415161718191a1b1c1d1e1f",
+    )
+    got = {r["id"]: r["fields"]["v"] for r in out.collect()}
+    iv = "101112131415161718191A1B1C1D1E1F"
+    # Spark's aes_encrypt prepends the IV to CBC output; the ciphertext after
+    # the prefix must equal the OpenSSL known answer byte-for-byte
+    assert got[1] == iv + "CDA122E671F0F91095F426334E422B2B"
+    assert got[2] == iv + "79AA917FA5534AAB2753669EE074F09F3B1194B07E6732129D06987ED4EFDBD4"
