@@ -72,6 +72,15 @@ class CheckpointLog:
         with open(self._path(run_id, stage)) as f:
             return json.load(f)
 
+    def stages(self, run_id: str) -> list[str]:
+        """Committed stage names for a run (catalog listing for resume)."""
+        prefix = f"{run_id}__"
+        return sorted(
+            f[len(prefix):-5]
+            for f in os.listdir(self.root)
+            if f.startswith(prefix) and f.endswith(".json")
+        )
+
     def as_dataframe(self, spark: SparkSession) -> DataFrame:
         return spark.read.option("multiLine", "true").json(self.root + "/*.json")
 

@@ -207,7 +207,11 @@ def regex_fields(
         return m, ok
     repl = _SEP.join(f"${i + 1}" for i in range(n))
     arr = F.split(F.regexp_replace(gated, anchored, repl), _SEP, -1)
-    ok = F.size(arr) == F.lit(n)
+    # lines containing the \x01 packing byte are treated as parse FAILURES in
+    # both directions: a matching line with \x01 in a capture would split
+    # wrong (documented deviation, SURVEY.md §8.6), and a NON-matching line
+    # with exactly n-1 \x01 bytes would otherwise false-positive as a match
+    ok = (F.size(arr) == F.lit(n)) & ~F.coalesce(gated.contains(_SEP), F.lit(False))
     karr = F.array(*[F.lit(k) for k in keys])
     ln = _mask_len(n, en & F.coalesce(ok, F.lit(False)))
     parsed = F.coalesce(

@@ -56,6 +56,24 @@ def run_job(
     num_partitions = num_partitions or spark.sparkContext.defaultParallelism * 2
     run = ResumableRun(spark, out_root, run_id)
 
+    # Fast resume: the counts stage commits LAST, so its presence means every
+    # sink is committed too — read counts from the committed records instead
+    # of re-running the decode→parse→route scan (a fully-resumed run must not
+    # reprocess, and recomputing from current input could disagree with the
+    # committed sink contents if the input changed).
+    if run.log.committed(run.run_id, "counts"):
+        cdf = spark.read.parquet(run.stage_dir("counts"))
+        counts = {
+            r["route"]: {"n_rows": r["n_rows"], "n_tok_sum": int(r["n_tok_sum"])}
+            for r in cdf.collect()
+        }
+        sinks = {
+            name[len("sink_"):]: run.stage_dir(name)
+            for name in run.log.stages(run.run_id)
+            if name.startswith("sink_")
+        }
+        return {"run_id": run.run_id, "sinks": sinks, "counts": counts, "executed": []}
+
     enrich_fn = default_enrich(spark) if enrich == "default" else enrich
     routed = build_pipeline(
         read_sequences(spark, input_path), parsers, routes, default_sink, enrich=enrich_fn

@@ -38,19 +38,52 @@ def get_spark(
         # decode bottleneck (10k-row batches: 20s; 64k: 3.3s at local[32])
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.files.maxPartitionBytes", "128m")
-        # local mode: driver heap IS the executor heap — size it for 32
-        # concurrent tasks (8g measured 50% slower than 32g from GC thrash)
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        # local mode: driver heap IS the executor heap — derived from host RAM
+        # (half of available, clamped 4-48g) rather than a hard-coded 48g so
+        # the library stays usable on modest machines; override with
+        # SPARK_DRIVER_MEMORY (8g measured 50% slower than 32g from GC thrash
+        # at local[32])
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", _default_driver_mem()))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
-        # shuffle/spill on tmpfs: the sandbox VM has one ~300MB/s virtio disk
-        # (a serial floor no core count can beat); a real cluster's shuffle
-        # bandwidth scales with executors, which tmpfs models honestly here
-        .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"))
         # Reference allows duplicate event keys (LogEvent.h:115-124); MapType
         # can't — last-wins is the documented deviation (SURVEY.md §7.4).
+        # NOTE: operators no longer DEPEND on this (map merges are
+        # structurally duplicate-free since round 2); kept for user queries.
         .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     )
+    # shuffle/spill on tmpfs when it is clearly large enough (the sandbox VM
+    # has one ~300MB/s virtio disk — a serial floor no core count can beat; a
+    # real cluster's shuffle bandwidth scales with executors, which tmpfs
+    # models honestly). On hosts with modest RAM, fall back to Spark's default
+    # disk dirs so spills don't compete with memory.
+    local_dirs = os.environ.get("SPARK_LOCAL_DIRS")
+    if local_dirs is None and _tmpfs_gb("/dev/shm") >= 16:
+        local_dirs = "/dev/shm/spark-local"
+    if local_dirs:
+        b = b.config("spark.local.dir", local_dirs)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
+
+
+def _default_driver_mem() -> str:
+    try:
+        avail_kb = 0
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    avail_kb = int(line.split()[1])
+                    break
+        gb = max(4, min(48, avail_kb // (2 * 1024 * 1024)))
+    except OSError:
+        gb = 4
+    return f"{gb}g"
+
+
+def _tmpfs_gb(path: str) -> float:
+    try:
+        st = os.statvfs(path)
+        return st.f_frsize * st.f_blocks / (1 << 30)
+    except OSError:
+        return 0.0
