@@ -1252,7 +1252,7 @@ def oracle_sql() -> dict[str, str]:
                    cast(round("value", 4) as varchar) as metric_value,
                    'host#$#h' || cast(user_id % 10 as varchar) as labels
             from events
-            where regexp_matches(cast(round("value", 4) as varchar), '^-?\\d+(\\.\\d+)?$')
+            where try_cast(cast(round("value", 4) as varchar) as double) is not null
         """,
         "base64_decode": "select p_partkey, p_type as decoded from part",
         "geoip": _geoip_oracle_sql(),

@@ -33,6 +33,17 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SEQ_ROWS_PER_SF = 6_000_000  # sf0.1 → 600k sequences (~55 MB of payload)
 
+# Toy-scale scan sizing: at 100 TB a table yields ~800k natural 128 MB splits
+# (dozens per core on any cluster); a 30-500 MB bench input under the
+# cluster-scale default maxPartitionBytes=128m PACKS into 1-8 scan tasks and
+# serializes the decode/parse stage (round-2 diagnosis of the "local[32] not
+# faster than local[8]" anomaly — it was file packing, not VM weather).
+# 4 MB splits restore the many-splits-per-core shape the real table has.
+BENCH_SCAN_CONF = {
+    "spark.sql.files.maxPartitionBytes": "4m",
+    "spark.sql.files.openCostInBytes": "4m",
+}
+
 
 def _sf_from_dir(sf_dir: str) -> float:
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -53,7 +64,7 @@ def ensure_replicated(spark, base_rows: int, mult: int) -> str:
     from pyspark.sql import functions as F
     from loongcollector_spark.synth import default_sequences_path, ensure_sequences
 
-    path = default_sequences_path(base_rows).replace(".parquet", f"_x{mult}.parquet")
+    path = default_sequences_path(base_rows).replace(".parquet", f"_x{mult}_v2.parquet")
     if os.path.exists(path):
         return path
     base = spark.read.parquet(ensure_sequences(base_rows))
@@ -61,7 +72,9 @@ def ensure_replicated(spark, base_rows: int, mult: int) -> str:
         base.withColumn("doc_id", F.concat("doc_id", F.lit(f"-r{i}"))) for i in range(mult)
     ]
     df = functools.reduce(DataFrame.unionByName, reps)
-    df.write.mode("overwrite").parquet(path + ".tmp")
+    # ≥64 output files: a coarsely-filed input caps scan parallelism (each
+    # Spark-written file is ONE row group → one indivisible split)
+    df.repartition(max(64, 8 * mult)).write.mode("overwrite").parquet(path + ".tmp")
     os.replace(path + ".tmp", path)
     return path
 
@@ -106,6 +119,56 @@ def run_flagship(spark, n_rows: int) -> dict:
     return run_flagship_path(spark, ensure_sequences(n_rows))
 
 
+def run_flagship_blackhole(spark, n_rows: int) -> dict:
+    """Write-free flagship: full decode→parse→enrich→route materialization
+    into the noop sink (flusher_blackhole analog) — the apples-to-apples
+    number against the reference's published single-thread agent rates, which
+    also discard output."""
+    from loongcollector_spark.operators.aggregate import sink_counts
+    from loongcollector_spark.plans.pipeline import build_pipeline, default_enrich
+    from loongcollector_spark.sources.io import read_sequences
+    from loongcollector_spark.synth import ensure_sequences
+
+    df = read_sequences(spark, ensure_sequences(n_rows))
+    routed = build_pipeline(df, enrich=default_enrich(spark))
+    counts = sink_counts(routed).collect()  # totals + warm (page cache, workers)
+    t0 = time.monotonic()
+    _noop_write(routed)
+    elapsed = time.monotonic() - t0
+    n_seq = sum(r["n_rows"] for r in counts)
+    n_tok = sum(r["n_tok_sum"] for r in counts)
+    return {
+        "sec": round(elapsed, 3),
+        "n_seq": n_seq,
+        "n_tok": int(n_tok),
+        "seqs_per_sec": round(n_seq / elapsed, 1),
+        "toks_per_sec": round(n_tok / elapsed, 1),
+        "mb_per_sec": round(n_tok / elapsed / 1e6, 2),
+    }
+
+
+def _jvm_pid(spark) -> int | None:
+    """PID of the local-mode JVM (for /proc CPU accounting)."""
+    proc = getattr(spark.sparkContext._gateway, "proc", None)
+    if proc is not None and getattr(proc, "pid", None):
+        return proc.pid
+    return None
+
+
+def _jvm_cpu_seconds(spark) -> float | None:
+    """Cumulative CPU seconds (utime+stime, all threads) of the JVM."""
+    pid = _jvm_pid(spark)
+    if pid is None:
+        return None
+    try:
+        with open(f"/proc/{pid}/stat") as f:
+            parts = f.read().split()
+        hz = os.sysconf("SC_CLK_TCK")
+        return (int(parts[13]) + int(parts[14])) / hz
+    except (OSError, IndexError, ValueError):
+        return None
+
+
 def _resolve_spec(spark, spec: str) -> str:
     """'2400000' -> synth path; '2400000x8' -> Spark-replicated path."""
     from loongcollector_spark.synth import ensure_sequences
@@ -120,7 +183,7 @@ def _pipeline_only(cpus: int, spec: str) -> None:
     """Subprocess worker: run the flagship at local[cpus], print rate JSON."""
     from loongcollector_spark.session import get_spark
 
-    spark = get_spark(app_name=f"bench-scale-{cpus}", cpus=cpus)
+    spark = get_spark(app_name=f"bench-scale-{cpus}", cpus=cpus, extra_conf=BENCH_SCAN_CONF)
     spark.range(1000).selectExpr("sum(id)").collect()  # JVM/codegen warmup
     path = _resolve_spec(spark, spec)
     r1 = run_flagship_path(spark, path)  # warm: page cache + python workers
@@ -164,18 +227,27 @@ def run_flagship_plan(spark, routed, nparts: int) -> dict:
         prefix="bench_scale_", dir="/dev/shm" if os.path.isdir("/dev/shm") else None
     )
     try:
+        cpu0 = _jvm_cpu_seconds(spark)
         t0 = time.monotonic()
         write_routed_partitioned(routed, out_dir, num_partitions=nparts)
         counts = sink_counts(spark.read.parquet(out_dir)).collect()
         elapsed = time.monotonic() - t0
+        cpu1 = _jvm_cpu_seconds(spark)
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
     n_seq = sum(r["n_rows"] for r in counts)
     n_tok = sum(r["n_tok_sum"] for r in counts)
+    cpu_sec = None if cpu0 is None or cpu1 is None else round(cpu1 - cpu0, 2)
     return {
         "sec": round(elapsed, 3),
         "seqs_per_sec": round(n_seq / elapsed, 1),
         "toks_per_sec": round(n_tok / elapsed, 1),
+        # CPU evidence for the scaling claim: cores_used = jvm cpu / wall.
+        # Scaling that stalls while cores_used ≈ nparts ⇒ real contention;
+        # cores_used ≪ nparts ⇒ the host is not delivering the cores (VM
+        # throttling), not a plan defect.
+        "cpu_sec": cpu_sec,
+        "cores_used": None if cpu_sec is None else round(cpu_sec / elapsed, 2),
     }
 
 
@@ -188,15 +260,17 @@ def measure_scaling(spec, lo: int = 2, hi: int = 8, rounds: int = 2) -> dict:
     pairs see the same weather. Best-of-rounds per level."""
     from loongcollector_spark.session import get_spark
 
-    spark = get_spark(app_name="bench-scaling", cpus=hi)
+    spark = get_spark(app_name="bench-scaling", cpus=hi, extra_conf=BENCH_SCAN_CONF)
     spark.sparkContext.setLogLevel("ERROR")
     path = _resolve_spec(spark, str(spec))
     plans = {n: build_flagship_at_parallelism(spark, path, n) for n in (lo, hi)}
     run_flagship_plan(spark, plans[hi], hi)  # warm: cache + workers
     rates: dict[int, dict] = {}
+    runs: list[dict] = []
     for _ in range(rounds):
         for n in (lo, hi):
             res = run_flagship_plan(spark, plans[n], n)
+            runs.append({"n": n, **res})
             if n not in rates or res["seqs_per_sec"] > rates[n]["seqs_per_sec"]:
                 rates[n] = res
     spark.stop()
@@ -209,7 +283,10 @@ def measure_scaling(spec, lo: int = 2, hi: int = 8, rounds: int = 2) -> dict:
         "seqs_per_sec_hi": rates[hi]["seqs_per_sec"],
         "toks_per_sec_lo": rates[lo]["toks_per_sec"],
         "toks_per_sec_hi": rates[hi]["toks_per_sec"],
+        "cores_used_lo": rates[lo].get("cores_used"),
+        "cores_used_hi": rates[hi].get("cores_used"),
         "efficiency": round(eff, 3),
+        "runs": runs,
     }
 
 
@@ -226,20 +303,25 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_rows = max(1000, int(SEQ_ROWS_PER_SF * sf))
 
-    spark = get_spark(app_name="bench", cpus=cpus)
+    spark = get_spark(app_name="bench", cpus=cpus, extra_conf=BENCH_SCAN_CONF)
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000).selectExpr("sum(id)").collect()
 
     pipeline = run_flagship(spark, n_rows)
+    blackhole = run_flagship_blackhole(spark, n_rows)
 
     query_secs: dict[str, float] = {}
     total = pipeline["sec"]
     for name, fn in entry.queries().items():
-        t0 = time.monotonic()
-        _noop_write(fn(spark, sf_dir))
-        dt = time.monotonic() - t0
-        query_secs[name] = round(dt, 3)
-        total += dt
+        # best-of-2: single-shot timings flap badly (r01 recorded tpch_q1 at
+        # 25.9s vs 1.5-2.0s warm) — the second take strips JIT/page-cache noise
+        takes = []
+        for _ in range(2):
+            t0 = time.monotonic()
+            _noop_write(fn(spark, sf_dir))
+            takes.append(time.monotonic() - t0)
+        query_secs[name] = round(min(takes), 3)
+        total += min(takes)
 
     scaling = None
     if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
@@ -263,6 +345,7 @@ def main() -> None:
         "queries": {"flagship_pipeline": pipeline["sec"], **query_secs},
         "sf": sf,
         "pipeline": pipeline,
+        "pipeline_blackhole": blackhole,
         "scaling": scaling,
     }
     print(json.dumps(out))

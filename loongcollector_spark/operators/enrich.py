@@ -448,8 +448,13 @@ def log_to_metric(
     out = out.withColumn("__labels__", labels)
     if time_key:
         out = out.withColumn("__time_nano__", (base[time_key].cast("double") * 1e9).cast("long"))
-    # strict metric-name validation (logtoslsmetric .go:172)
-    return out.filter(F.col("__name__").rlike(r"^[a-zA-Z_:][a-zA-Z0-9_:]*$") & F.col("__value__").rlike(r"^-?\d+(\.\d+)?$"))
+    # strict metric-name validation (logtoslsmetric .go:32-56); the VALUE check
+    # mirrors Go's strconv.ParseFloat (.go:172) via try_cast — scientific
+    # notation ("1e3") passes, unlike the plain-decimal regex it replaces
+    return out.filter(
+        F.col("__name__").rlike(r"^[a-zA-Z_:][a-zA-Z0-9_:]*$")
+        & F.col("__value__").try_cast("double").isNotNull()
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -103,11 +103,53 @@ def filter_key_regex(
 def sanitize_non_utf8(df: DataFrame, col: str = "content") -> DataFrame:
     """Rewrite invalid UTF-8 bytes to spaces (ProcessorFilterNative.cpp:297-376).
 
-    Arrow already enforces valid UTF-8 on string columns, so at the DataFrame
-    level this reduces to replacing the replacement character U+FFFD — kept for
-    config parity.
+    On a STRING column Arrow has already collapsed invalid bytes to U+FFFD, so
+    only the replacement character can be rewritten (byte counts lost). On a
+    BINARY column the reference's one-space-PER-BYTE rewrite is reproduced
+    exactly with an Arrow-batched UDF walking the UTF-8 state machine — read
+    payloads as binary to keep byte fidelity.
     """
-    return df.withColumn(col, F.regexp_replace(F.col(col), "�", " "))
+    from pyspark.sql.types import BinaryType
+
+    field = df.schema[col]
+    if not isinstance(field.dataType, BinaryType):
+        return df.withColumn(col, F.regexp_replace(F.col(col), "�", " "))
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def fix_bytes(s):  # pd.Series -> pd.Series (hints omitted: local import)
+        def sanitize(b):
+            if b is None:
+                return None
+            out = bytearray()
+            i, n = 0, len(b)
+            while i < n:
+                c = b[i]
+                if c < 0x80:
+                    out.append(c)
+                    i += 1
+                    continue
+                # multi-byte lead: 110x->1, 1110x->2, 11110x->3 continuations
+                need = 1 if 0xC2 <= c <= 0xDF else 2 if 0xE0 <= c <= 0xEF else 3 if 0xF0 <= c <= 0xF4 else -1
+                seq = bytes(b[i : i + need + 1]) if need > 0 else b""
+                ok = need > 0 and len(seq) == need + 1
+                if ok:
+                    try:
+                        seq.decode("utf-8")
+                    except UnicodeDecodeError:
+                        ok = False
+                if ok:
+                    out.extend(seq)
+                    i += need + 1
+                else:
+                    out.append(0x20)  # ONE space per invalid byte (.cpp:297-376)
+                    i += 1
+            return out.decode("utf-8")
+
+        return s.map(sanitize)
+
+    return df.withColumn(col, fix_bytes(F.col(col)))
 
 
 def drop_keys(df: DataFrame, keys: list[str], fields_col: str = "fields") -> DataFrame:

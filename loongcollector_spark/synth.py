@@ -132,16 +132,21 @@ def write_sequences(
     path: str,
     n_rows: int,
     seed: int = 42,
-    row_group_size: int = 32 * 1024,
-    rows_per_file: int = 75_000,
+    row_group_size: int = 16 * 1024,
+    rows_per_file: int = 20_000,
 ) -> str:
     """Materialize the sequences table as a DIRECTORY of parquet part files
     (idempotent: skip if present).
 
-    Many ~7 MB files instead of one big one → Spark gets evenly-sized input
-    splits at any parallelism (a single file caps scan parallelism at
-    size/openCostInBytes and leaves 2×-sized straggler tasks from row-group
-    alignment — measured as an 8-core tail on a 32-core run)."""
+    Many ~2 MB files instead of one big one → Spark gets evenly-sized input
+    splits at any parallelism. NOTE: file count alone is not enough — with the
+    cluster-scale ``spark.sql.files.maxPartitionBytes=128m`` Spark PACKS small
+    files into few partitions (round-2 diagnosis: the whole 114 MB scaling
+    input packed into ≤8 scan tasks, capping every core count at ~7 used
+    cores). Toy-scale benches must also shrink maxPartitionBytes/openCost so
+    the scan yields ≥2 splits per core — bench.py does (a 100 TB table gets
+    ~800k natural 128 MB splits; the toy input has to mimic that
+    many-splits-per-core shape to measure the same thing)."""
     if os.path.exists(path):
         return path
     tmp = path + ".tmp"
