@@ -251,6 +251,38 @@ def run_flagship_plan(spark, routed, nparts: int) -> dict:
     }
 
 
+def cpu_probe(spark, lo: int, hi: int) -> dict:
+    """Host-capability probe: embarrassingly parallel PURE-JVM arithmetic
+    (range sum, no IO/shuffle/Python) at lo vs hi concurrent tasks. If even
+    this cannot reach hi effective cores, the host — not the pipeline plan —
+    is the scaling ceiling. Round-2 measurement on this sandbox: 32 threads
+    deliver ~20 effective cores at ~60% of the 8-thread per-core rate, so the
+    2-vs-8 partition-parallelism pair is the honest same-machine signal."""
+    from pyspark.sql import functions as F
+
+    def one(nparts: int, n: int = 2_000_000_000) -> dict:
+        df = spark.range(n, numPartitions=nparts).select(F.sum(F.expr("id * 3 + (id % 7)")))
+        c0 = _jvm_cpu_seconds(spark)
+        t0 = time.monotonic()
+        df.collect()
+        dt = time.monotonic() - t0
+        c1 = _jvm_cpu_seconds(spark)
+        cpu = None if c0 is None or c1 is None else c1 - c0
+        return {
+            "wall": round(dt, 3),
+            "cores_used": None if cpu is None else round(cpu / dt, 2),
+            "rate_m_per_s": round(n / dt / 1e6),
+        }
+
+    one(lo)  # warm
+    lo_r, hi_r = one(lo), one(hi)
+    return {
+        "lo": {"n": lo, **lo_r},
+        "hi": {"n": hi, **hi_r},
+        "pure_jvm_speedup": round(hi_r["rate_m_per_s"] / lo_r["rate_m_per_s"], 3),
+    }
+
+
 def measure_scaling(spec, lo: int = 2, hi: int = 8, rounds: int = 2) -> dict:
     """N-vs-4N parallelism scaling, measured as tightly-interleaved runs of the
     same job at ``lo`` and ``hi`` concurrent task slots inside ONE local[hi]
@@ -262,6 +294,7 @@ def measure_scaling(spec, lo: int = 2, hi: int = 8, rounds: int = 2) -> dict:
 
     spark = get_spark(app_name="bench-scaling", cpus=hi, extra_conf=BENCH_SCAN_CONF)
     spark.sparkContext.setLogLevel("ERROR")
+    probe = cpu_probe(spark, lo, hi)
     path = _resolve_spec(spark, str(spec))
     plans = {n: build_flagship_at_parallelism(spark, path, n) for n in (lo, hi)}
     run_flagship_plan(spark, plans[hi], hi)  # warm: cache + workers
@@ -287,6 +320,7 @@ def measure_scaling(spec, lo: int = 2, hi: int = 8, rounds: int = 2) -> dict:
         "cores_used_hi": rates[hi].get("cores_used"),
         "efficiency": round(eff, 3),
         "runs": runs,
+        "host_cpu_probe": probe,
     }
 
 

@@ -39,9 +39,20 @@ def _set_field(base: Column, key: str, value: Column, present: Column) -> Column
     ``spark.sql.mapKeyDedupPolicy`` (the driver's harness session carries the
     default EXCEPTION — round 1 lost 3 queries to a LAST_WIN conf dependency).
     Overwrite semantics per LogEvent::SetContent (core/models/LogEvent.h:115-124)."""
-    cond = F.coalesce(present & value.isNotNull(), F.lit(False))
-    kept = F.filter(F.map_entries(base), lambda e: ~cond | (e["key"] != F.lit(key)))
-    return F.map_from_entries(F.concat(kept, _opt_entry(key, value, cond)))
+    from .parse import _let
+
+    def build(b: Column, v: Column) -> Column:
+        def with_cond(cond: Column) -> Column:
+            kept = F.filter(F.map_entries(b), lambda e: ~cond | (e["key"] != F.lit(key)))
+            return F.map_from_entries(F.concat(kept, _opt_entry(key, v, cond)))
+
+        # cond is read per map entry inside the filter lambda — bind it so the
+        # present/value trees evaluate once per row, not once per entry
+        return _let(F.coalesce(present & v.isNotNull(), F.lit(False)), with_cond)
+
+    # let-bind: value (often a regex/hash over the field) and base are each
+    # referenced 2+ times — interpreted HOFs would re-evaluate them per use
+    return _let(base, lambda b: _let(value, lambda v: build(b, v)))
 
 
 def dict_map(

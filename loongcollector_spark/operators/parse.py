@@ -100,6 +100,17 @@ def _entries_map(*entry_arrays: Column) -> Column:
     return F.coalesce(F.map_from_entries(arr), _empty_map())
 
 
+def _let(value: Column, fn) -> Column:
+    """Single-evaluation let-binding: bind an expression to a HOF lambda
+    variable (single-element transform) so every downstream reference reads
+    the MATERIALIZED value instead of re-evaluating the tree. Interpreted HOF
+    expressions get no common-subexpression elimination — without this,
+    helpers that reference a big subtree 2-3 times (or worse, per-element
+    inside a lambda) multiply the whole upstream parse cost; measured 97→~15
+    CPU-sec on the apsara branch of the flagship."""
+    return F.element_at(F.transform(F.array(value), fn), 1)
+
+
 def _dedup_entries_last_wins(entries: Column) -> Column:
     """Drop every entry that has a LATER entry with the same key — duplicate-key
     last-wins per the reference's LogEvent::SetContent overwrite semantics
@@ -107,14 +118,18 @@ def _dedup_entries_last_wins(entries: Column) -> Column:
     ``spark.sql.mapKeyDedupPolicy=LAST_WIN`` (the driver's harness session does
     not carry that conf; round 1 lost 3 queries to it). O(k²) per row in the
     entry count, which is single-digit for log events."""
-    n = F.size(entries)
-    return F.filter(
-        entries,
-        lambda e, i: ~F.exists(
-            F.slice(entries, i + F.lit(2), F.greatest(n - i - F.lit(1), F.lit(0))),
-            lambda o: o["key"] == e["key"],
-        ),
-    )
+
+    def dedup(es: Column) -> Column:
+        n = F.size(es)
+        return F.filter(
+            es,
+            lambda e, i: ~F.exists(
+                F.slice(es, i + F.lit(2), F.greatest(n - i - F.lit(1), F.lit(0))),
+                lambda o: o["key"] == e["key"],
+            ),
+        )
+
+    return _let(entries, dedup)
 
 
 def merge_maps(base: Column, overlay: Column) -> Column:
@@ -122,9 +137,14 @@ def merge_maps(base: Column, overlay: Column) -> Column:
     an overlay key are dropped BEFORE map construction, so the result is valid
     under any ``spark.sql.mapKeyDedupPolicy`` (incl. the default EXCEPTION).
     Matches LogEvent.h:115-124 overwrite semantics."""
-    ks = F.map_keys(overlay)
-    kept = F.filter(F.map_entries(base), lambda e: ~F.array_contains(ks, e["key"]))
-    return F.map_from_entries(F.concat(kept, F.map_entries(overlay)))
+
+    def merge(b: Column, ov: Column) -> Column:
+        kept = F.filter(
+            F.map_entries(b), lambda e: ~F.array_contains(F.map_keys(ov), e["key"])
+        )
+        return F.map_from_entries(F.concat(kept, F.map_entries(ov)))
+
+    return _let(base, lambda b: _let(overlay, lambda ov: merge(b, ov)))
 
 
 @dataclass(frozen=True)
