@@ -1,0 +1,104 @@
+"""Physical-plan shape assertions — the 100-TB design claims, checked.
+
+Each test asserts the plan SHAPE (join strategy, pushdown, shuffle keys), not
+timings: shapes are what survive a 1000-executor scale-up. A regression that
+turns a broadcast join into a sort-merge join or a blocked join into a
+nested-loop join fails here long before any benchmark notices.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def docs_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("plans") / "docs.parquet")
+    spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text number "), F.col("id").cast("string")).alias("text"),
+        (F.col("id") % 5).cast("int").alias("n_chars"),
+        F.lit("en").alias("lang"),
+        F.lit("s1").alias("source"),
+    ).write.mode("overwrite").parquet(p)
+    return p
+
+
+def test_dict_map_is_broadcast_join(spark):
+    from loongcollector_spark.operators.enrich import dict_map
+
+    df = spark.range(100).select(
+        F.col("id"), F.create_map(F.lit("k"), F.col("id").cast("string")).alias("fields")
+    )
+    d = spark.createDataFrame([("1", "one")], "code string, label string")
+    plan = _plan(dict_map(df, d, "k", "lbl"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_geoip_is_broadcast_hash_join(spark):
+    from loongcollector_spark.operators.enrich import geoip
+
+    geo = spark.createDataFrame(
+        [(0, 65535, "c", "p", "pc", "co", "cc", 0.0, 0.0)],
+        "ip_start long, ip_end long, city string, province string, province_code string,"
+        "country string, country_code string, longitude double, latitude double",
+    )
+    # per-ROW ip: a literal ip constant-folds the join keys away and degrades
+    # to a nested-loop join (not the production shape)
+    df = spark.range(10).select(
+        F.col("id"),
+        F.create_map(
+            F.lit("ip"), F.concat(F.lit("10.0.0."), F.col("id").cast("string"))
+        ).alias("fields"),
+    )
+    plan = _plan(geoip(df, geo, "ip"))
+    # /16-blocked equi-join keeps the range lookup a HASH join
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_filter_and_projection_pushdown(spark, docs_path):
+    df = (
+        spark.read.parquet(docs_path)
+        .filter(F.col("lang") == "en")
+        .select("doc_id", "lang")
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan
+    # column pruning: the scan must not read `text`
+    scan_line = next(ln for ln in plan.splitlines() if "ReadSchema" in ln)
+    assert "text" not in scan_line and "doc_id" in scan_line
+
+
+def test_minhash_lsh_no_cartesian(spark, docs_path):
+    from loongcollector_spark.operators.dedup import minhash_lsh_pairs
+
+    d = spark.read.parquet(docs_path)
+    plan = _plan(minhash_lsh_pairs(d, num_hashes=8, bands=4))
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_ngram_jaccard_no_cartesian(spark, docs_path):
+    from loongcollector_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = spark.read.parquet(docs_path)
+    plan = _plan(ngram_jaccard_pairs(d, n=2, threshold=0.5, max_doc_grams=50))
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_flagship_single_scan_and_no_python_in_parse(spark, seq_path):
+    """The flagship parse path must stay JVM-side: no BatchEvalPython (row
+    Python UDF) anywhere; the decode step is the only Arrow exchange."""
+    from loongcollector_spark.plans.pipeline import build_pipeline
+    from loongcollector_spark.sources.io import read_sequences
+
+    routed = build_pipeline(read_sequences(spark, seq_path))
+    plan = _plan(routed)
+    assert "BatchEvalPython" not in plan  # row-at-a-time Python = banned
+    assert plan.count("Scan parquet") == 1  # one pass over the input
