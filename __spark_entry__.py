@@ -812,6 +812,28 @@ def q_spl_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compile_spl(d, SPL_SCRIPT).select("w1", "n")
 
 
+SPL_KV_SCRIPT = (
+    "* | parse-kv line, '&', '=' as user, et"
+    " | where et != ''"
+    " | pack-fields packed, user, et"
+    " | project event_id, user, et, packed"
+)
+
+
+def q_spl_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse-kv + pack-fields SPL verbs over a synthesized query-string line."""
+    from loongcollector_spark.plans.spl import compile_spl
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "line",
+        F.concat(
+            F.lit("user="), F.col("user_id").cast("string"),
+            F.lit("&et="), F.col("event_type"), F.lit("&junk"),
+        ),
+    )
+    return compile_spl(e, SPL_KV_SCRIPT)
+
+
 def q_multiline_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Each user's event stream merged into sessions starting at 'signup'
     (merge-multiline semantics over a deterministic line order)."""
@@ -984,6 +1006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6": q_tpch_q6,
         # SPL / multiline / rate limit
         "spl_stats": q_spl_stats,
+        "spl_kv": q_spl_kv,
         "multiline_merge": q_multiline_merge,
         "rate_limit": q_rate_limit,
     }
@@ -1176,6 +1199,12 @@ def oracle_sql() -> dict[str, str]:
             )
             select w1, count(*) as n from p where w1 != ''
             group by w1 order by n desc, w1 limit 10
+        """,
+        "spl_kv": """
+            select event_id, cast(user_id as varchar) as "user", event_type as et,
+                   '{"user":"' || cast(user_id as varchar) || '","et":"' || event_type || '"}'
+                     as packed
+            from events where event_type != ''
         """,
         "multiline_merge": """
             with l as (

@@ -157,6 +157,37 @@ def compile_spl(df: DataFrame, script: str) -> DataFrame:
             arr = F.split(F.col(field), ",", -1)
             for i, k in enumerate(keys):
                 out = out.withColumn(k, F.trim(F.try_element_at(arr, F.lit(i + 1))))
+        elif verb == "parse-kv":
+            # parse-kv field, 'pair_sep', 'kv_sep' as k1, k2  (static key list —
+            # a compiled plan needs a fixed schema, like parse-json above)
+            parts = _AS_RE.split(rest, 1)
+            if len(parts) != 2:
+                raise SPLError(f"parse-kv needs 'as k1, k2': {stage!r}")
+            items = _split_commas(parts[0])
+            if len(items) != 3:
+                raise SPLError(f"parse-kv needs 'field, ''pairsep'', ''kvsep''': {stage!r}")
+            field, psep, ksep = items[0].strip(), _unquote(items[1]), _unquote(items[2])
+            toks = F.split(F.col(field), re.escape(psep), -1)
+            for k in [k.strip() for k in _split_commas(parts[1])]:
+                val = F.element_at(
+                    F.filter(toks, lambda t: F.substring_index(t, ksep, 1) == F.lit(k)), 1
+                )
+                out = out.withColumn(
+                    k,
+                    F.when(
+                        val.isNotNull(),
+                        F.substr(
+                            val, F.length(F.substring_index(val, ksep, 1)) + F.lit(len(ksep) + 1)
+                        ),
+                    ),
+                )
+        elif verb == "pack-fields":
+            # pack-fields dest, k1, k2 — pack listed columns into a JSON object
+            items = _split_commas(rest)
+            if len(items) < 2:
+                raise SPLError(f"pack-fields needs 'dest, k1[, k2…]': {stage!r}")
+            dest, keys = items[0].strip(), [k.strip() for k in items[1:]]
+            out = out.withColumn(dest, F.to_json(F.struct(*[F.col(k).alias(k) for k in keys])))
         elif verb == "stats":
             parts = _BY_RE.split(rest, 1)
             aggs_s = parts[0]
