@@ -341,8 +341,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    pipeline = run_flagship(spark, n_rows)
-    blackhole = run_flagship_blackhole(spark, n_rows)
+    # best-of-2 everywhere: single-shot numbers on this host flap several-fold
+    # (r01 recorded tpch_q1 at 25.9s vs 1.5-2.0s warm)
+    pipeline = min(
+        (run_flagship(spark, n_rows) for _ in range(2)), key=lambda r: r["sec"]
+    )
+    blackhole = min(
+        (run_flagship_blackhole(spark, n_rows) for _ in range(2)), key=lambda r: r["sec"]
+    )
 
     query_secs: dict[str, float] = {}
     total = pipeline["sec"]
@@ -366,7 +372,7 @@ def main() -> None:
         # counts erratically (local[32] measured SLOWER than local[8] on the
         # same input across interleaved runs), so the 2-vs-8 pair is the
         # honest same-machine scaling signal.
-        scale_rows = os.environ.get("SPARK_GRAFT_SCALE_ROWS", f"{n_rows}x8")
+        scale_rows = os.environ.get("SPARK_GRAFT_SCALE_ROWS", f"{n_rows}x4")
         try:
             scaling = measure_scaling(scale_rows)
         except Exception as ex:  # never let scaling kill the headline output
