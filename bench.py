@@ -147,6 +147,18 @@ def run_flagship_blackhole(spark, n_rows: int) -> dict:
     }
 
 
+def _host_cpu_stat() -> tuple[int, int]:
+    """(total_jiffies, steal_jiffies) from /proc/stat — hypervisor steal time
+    is the direct measurement of 'VM weather' (this sandbox idles at ~7% st)."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        return sum(vals), vals[7] if len(vals) > 7 else 0
+    except (OSError, ValueError):
+        return 0, 0
+
+
 def _jvm_pid(spark) -> int | None:
     """PID of the local-mode JVM (for /proc CPU accounting)."""
     proc = getattr(spark.sparkContext._gateway, "proc", None)
@@ -227,12 +239,14 @@ def run_flagship_plan(spark, routed, nparts: int) -> dict:
         prefix="bench_scale_", dir="/dev/shm" if os.path.isdir("/dev/shm") else None
     )
     try:
+        h0, s0 = _host_cpu_stat()
         cpu0 = _jvm_cpu_seconds(spark)
         t0 = time.monotonic()
         write_routed_partitioned(routed, out_dir, num_partitions=nparts)
         counts = sink_counts(spark.read.parquet(out_dir)).collect()
         elapsed = time.monotonic() - t0
         cpu1 = _jvm_cpu_seconds(spark)
+        h1, s1 = _host_cpu_stat()
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
     n_seq = sum(r["n_rows"] for r in counts)
@@ -245,9 +259,11 @@ def run_flagship_plan(spark, routed, nparts: int) -> dict:
         # CPU evidence for the scaling claim: cores_used = jvm cpu / wall.
         # Scaling that stalls while cores_used ≈ nparts ⇒ real contention;
         # cores_used ≪ nparts ⇒ the host is not delivering the cores (VM
-        # throttling), not a plan defect.
+        # throttling), not a plan defect. steal_pct is the hypervisor's
+        # measured share of this run's window — the direct weather gauge.
         "cpu_sec": cpu_sec,
         "cores_used": None if cpu_sec is None else round(cpu_sec / elapsed, 2),
+        "steal_pct": round(100.0 * (s1 - s0) / max(h1 - h0, 1), 1),
     }
 
 
