@@ -614,6 +614,16 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN: deterministic coarse quantizer (16 lowest-id vectors),
+    nprobe=4 of 16 lists scanned per query — the sub-linear scale path next
+    to the brute-force baseline; the oracle replays the identical index."""
+    from loongcollector_spark.operators.ann import ann_ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return ann_ivf_topk(e, query_ids=[100, 101, 102], k=10, n_centroids=16, nprobe=4)
+
+
 # ---------------------------------------------------------------------------
 # Training-data ops v2: normalized dedup, ngram/charset jaccard, minhash-LSH,
 # simhash, embedding near-dup, language-ID, quality, fingerprint, BPE count
@@ -957,6 +967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "topk_per_group": q_topk_per_group,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5ish": q_tpch_q5ish,
@@ -1435,6 +1446,39 @@ def oracle_sql() -> dict[str, str]:
                 from scored
             )
             select query_id, neighbor_id, cos6, rk from ranked where rk <= 10
+        """,
+        "ann_ivf_topk": """
+            with v as (select vec_id as id, cast(embedding as double[]) as v from embeddings),
+            c as (select id as centroid_id, v as c_vec from v where id < 16),
+            asg as (
+              select id, centroid_id from (
+                select v.id, c.centroid_id,
+                       row_number() over (partition by v.id
+                         order by round(list_cosine_similarity(v.v, c.c_vec), 6) desc,
+                                  c.centroid_id) as rk
+                from v cross join c) where rk = 1
+            ),
+            q as (select id as query_id, v as q_vec from v where id in (100, 101, 102)),
+            probes as (
+              select query_id, q_vec, centroid_id from (
+                select q.query_id, q.q_vec, c.centroid_id,
+                       row_number() over (partition by q.query_id
+                         order by round(list_cosine_similarity(q.q_vec, c.c_vec), 6) desc,
+                                  c.centroid_id) as prk
+                from q cross join c) where prk <= 4
+            ),
+            scored as (
+              select p.query_id, v.id, round(list_cosine_similarity(p.q_vec, v.v), 6) as cos6
+              from probes p
+              join asg on asg.centroid_id = p.centroid_id
+              join v on v.id = asg.id
+              where v.id != p.query_id
+            )
+            select query_id, id as neighbor_id, cos6, cast(rk as int) as rk from (
+              select *, row_number() over (partition by query_id
+                                           order by cos6 desc, id) as rk
+              from scored
+            ) where rk <= 10
         """,
         "tpch_q1": f"""
             select l_returnflag, l_linestatus,

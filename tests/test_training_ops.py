@@ -258,3 +258,47 @@ def test_media_feature_dedup_integration(spark):
     # the toy stub features may also pair distinct-but-similar payloads
     identical = {(a, b) for a, b in found if a == b}
     assert len(identical) == 2
+
+
+def test_ann_ivf_topk(spark):
+    """IVF returns a candidate-restricted top-k: every returned cos matches
+    the exact cosine, recall vs brute force is positive, and the candidate
+    join has no cartesian on the corpus side."""
+    import random
+
+    rng = random.Random(3)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    from loongcollector_spark.operators.ann import ann_ivf_topk
+
+    out_df = ann_ivf_topk(df, query_ids=[100, 200], k=5, n_centroids=8, nprobe=3)
+    plan = out_df._jdf.queryExecution().executedPlan().toString()
+    # only the K-centroid fan-outs may be nested-loop; the corpus candidate
+    # join must be an EQUI join on centroid_id (hash or sort-merge — AQE picks)
+    import re as _re
+
+    assert _re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[centroid_id", plan)
+    ivf = {(r["query_id"], r["neighbor_id"]): r["cos6"] for r in out_df.collect()}
+    assert len(ivf) == 10  # 2 queries x k=5
+
+    # brute-force reference
+    from loongcollector_spark.operators.dedup import cosine
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    v = df.select(F.col("vec_id").alias("id"), F.col("embedding").alias("v"))
+    q = v.filter(F.col("id").isin(100, 200)).select(
+        F.col("id").alias("query_id"), F.col("v").alias("q_vec")
+    )
+    scored = v.join(F.broadcast(q), F.col("id") != F.col("query_id")).withColumn(
+        "cos6", F.round(cosine(F.col("q_vec"), F.col("v")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos6").desc(), F.col("id"))
+    brute = {
+        (r["query_id"], r["id"]): r["cos6"]
+        for r in scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 5).collect()
+    }
+    common = set(ivf) & set(brute)
+    assert common, "IVF found none of the true top-k (nprobe=3/8 should catch some)"
+    for key in common:
+        assert abs(ivf[key] - brute[key]) < 1e-9  # exact cosines, same rounding
