@@ -415,67 +415,106 @@ def apsara_fields(
     ``microtime`` emitted (.cpp:226-232)."""
     en = F.lit(True) if enabled is None else enabled
     gated = src if enabled is None else F.when(en, src)  # nulls propagate below
-    parts = F.split(gated, "\t", -1)
-    head = F.element_at(parts, 1)
-    time_str = F.regexp_extract(head, r"^\[([^\]]*)\]$", 1)
-    matched = time_str.isNotNull() & (time_str != F.lit(""))
 
-    rest = F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0)))
     # Bracket test via cheap string predicates (NOT regex — regex inside a HOF
     # lambda runs interpreted per element, measured ~50× slower).
     def _is_br(p: Column) -> Column:
         return p.startswith("[") & p.endswith("]")
 
-    # All bracketed blocks re-joined; each classifier is then ONE JVM regex
-    # pass over that string (first match == first-matching-block rule).
-    brs = F.array_join(F.filter(rest, _is_br), "\t")
-    kv_tail = F.array_join(F.filter(rest, lambda p: ~_is_br(p)), "\t")
-    # gate on match + non-empty tail: str_to_map('') would emit a {'': null}
-    # entry, and failed rows must carry only the raw-keep policy entry
-    kv_gated = F.when(matched & (kv_tail != F.lit("")), kv_tail)
-    # str_to_map crashes on intra-line duplicate keys under the default
-    # mapKeyDedupPolicy=EXCEPTION — build entries and dedupe last-wins instead
-    kv_entries = F.transform(
-        F.split(kv_gated, "\t", -1),
-        lambda t: F.struct(
-            F.substring_index(t, ":", 1).alias("key"),
-            F.when(
-                t.contains(":"),
-                F.substr(t, F.length(F.substring_index(t, ":", 1)) + F.lit(2)),
-            ).alias("value"),
-        ),
-    )
-    kv_map = F.coalesce(F.map_from_entries(_dedup_entries_last_wins(kv_entries)), _empty_map())
-    level = F.nullif(F.regexp_extract(brs, r"\[([A-Z]+)\]", 1), F.lit(""))
-    thread = F.nullif(F.regexp_extract(brs, r"\[(\d+)\]", 1), F.lit(""))
-    # contains '/', or contains both '.' and ':' (either order) — lookaheads
-    fileline = F.nullif(
-        F.regexp_extract(brs, r"\[(?:(?=[^\]]*/)|(?=[^\]]*\.)(?=[^\]]*:))([^\]]*)\]", 1),
-        F.lit(""),
-    )
-    line_no = F.substring_index(fileline, ":", -1)
-    file_path = F.substr(
-        fileline, F.lit(1), F.greatest(F.length(fileline) - F.length(line_no) - F.lit(1), F.lit(0))
+    _TIME_RX = r"^\[([^\]]*)\]$"
+
+    # The ok/ts return columns evaluate their own short chains; the fields map
+    # below let-binds every multiply-referenced subtree (parts, time_str, brs,
+    # fileline, level, thread, microtime) — without the binds the interpreted
+    # HOF tree re-evaluated split+filter+regex chains up to 6× per row
+    # (measured: apsara branch 97→~15 CPU-sec at 600k rows).
+    parts0 = F.split(gated, "\t", -1)
+    time_str0 = F.regexp_extract(F.element_at(parts0, 1), _TIME_RX, 1)
+    matched = time_str0.isNotNull() & (time_str0 != F.lit(""))
+    is_epoch0 = time_str0.rlike(r"^\d+$")
+    ts = F.when(is_epoch0, F.to_timestamp(F.from_unixtime(time_str0.cast("long")))).otherwise(
+        F.try_to_timestamp(time_str0)  # null (not ANSI error) on malformed
     )
 
-    is_epoch = time_str.rlike(r"^\d+$")
-    ts = F.when(is_epoch, F.to_timestamp(F.from_unixtime(time_str.cast("long")))).otherwise(
-        F.try_to_timestamp(time_str)  # null (not ANSI error) on malformed — entries eval eagerly
-    )
-    microtime = F.when(is_epoch, (time_str.cast("long") * F.lit(1000000)).cast("string")).otherwise(
-        F.unix_micros(ts).cast("string")
-    )
+    def build_map(parts: Column) -> Column:
+        rest = F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0)))
 
-    on = en & matched
-    base = _entries_map(
-        _opt_entry("microtime", microtime, on & microtime.isNotNull()),
-        _opt_entry("__LEVEL__", level, on & level.isNotNull()),
-        _opt_entry("__THREAD__", thread, on & thread.isNotNull()),
-        _opt_entry("__FILE__", file_path, on & fileline.isNotNull()),
-        _opt_entry("__LINE__", line_no, on & fileline.isNotNull()),
-        *_policy_entries(src, matched, en, opts),
-    )
-    return merge_maps(base, kv_map), matched, ts
+        def with_tstr(tstr: Column) -> Column:
+            m2 = tstr.isNotNull() & (tstr != F.lit(""))
+            kv_tail = F.array_join(F.filter(rest, lambda p: ~_is_br(p)), "\t")
+            # gate on match + non-empty tail: failed rows must carry only the
+            # raw-keep policy entry (and '' would emit a {'': null} entry)
+            kv_gated = F.when(m2 & (kv_tail != F.lit("")), kv_tail)
+            # entries + last-wins dedupe (str_to_map crashes on intra-line
+            # duplicate keys under the default mapKeyDedupPolicy=EXCEPTION)
+            kv_entries = F.transform(
+                F.split(kv_gated, "\t", -1),
+                lambda t: F.struct(
+                    F.substring_index(t, ":", 1).alias("key"),
+                    F.when(
+                        t.contains(":"),
+                        F.substr(t, F.length(F.substring_index(t, ":", 1)) + F.lit(2)),
+                    ).alias("value"),
+                ),
+            )
+            kv_map = F.coalesce(
+                F.map_from_entries(_dedup_entries_last_wins(kv_entries)), _empty_map()
+            )
+            is_e = tstr.rlike(r"^\d+$")
+            ts_i = F.when(is_e, F.to_timestamp(F.from_unixtime(tstr.cast("long")))).otherwise(
+                F.try_to_timestamp(tstr)
+            )
+            micro = F.when(is_e, (tstr.cast("long") * F.lit(1000000)).cast("string")).otherwise(
+                F.unix_micros(ts_i).cast("string")
+            )
+            # All bracketed blocks re-joined; each classifier is ONE JVM regex
+            # pass over that string (first match == first-matching-block rule)
+            brs = F.array_join(F.filter(rest, _is_br), "\t")
+
+            def with_brs(b: Column) -> Column:
+                level = F.nullif(F.regexp_extract(b, r"\[([A-Z]+)\]", 1), F.lit(""))
+                thread = F.nullif(F.regexp_extract(b, r"\[(\d+)\]", 1), F.lit(""))
+                # contains '/', or both '.' and ':' (either order) — lookaheads
+                fileline = F.nullif(
+                    F.regexp_extract(
+                        b, r"\[(?:(?=[^\]]*/)|(?=[^\]]*\.)(?=[^\]]*:))([^\]]*)\]", 1
+                    ),
+                    F.lit(""),
+                )
+
+                def assemble(fl: Column, lvl: Column, thr: Column, mic: Column) -> Column:
+                    line_no = F.substring_index(fl, ":", -1)
+                    file_path = F.substr(
+                        fl,
+                        F.lit(1),
+                        F.greatest(F.length(fl) - F.length(line_no) - F.lit(1), F.lit(0)),
+                    )
+                    on = en & m2
+                    base = _entries_map(
+                        _opt_entry("microtime", mic, on & mic.isNotNull()),
+                        _opt_entry("__LEVEL__", lvl, on & lvl.isNotNull()),
+                        _opt_entry("__THREAD__", thr, on & thr.isNotNull()),
+                        _opt_entry("__FILE__", file_path, on & fl.isNotNull()),
+                        _opt_entry("__LINE__", line_no, on & fl.isNotNull()),
+                        *_policy_entries(src, m2, en, opts),
+                    )
+                    return merge_maps(base, kv_map)
+
+                return _let(
+                    fileline,
+                    lambda fl: _let(
+                        level,
+                        lambda lvl: _let(
+                            thread, lambda thr: _let(micro, lambda mic: assemble(fl, lvl, thr, mic))
+                        ),
+                    ),
+                )
+
+            return _let(brs, with_brs)
+
+        return _let(F.regexp_extract(F.element_at(parts, 1), _TIME_RX, 1), with_tstr)
+
+    return _let(parts0, build_map), matched, ts
 
 
 def parse_apsara(
