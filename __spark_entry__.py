@@ -668,12 +668,31 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(d, num_hashes=32, bands=16, n=2, threshold=0.3)
 
 
+def q_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH with the md5 hash family — the auditable twin of
+    q_minhash_lsh: DuckDB replays signatures, banding, candidates AND the
+    exact-Jaccard verify, so the whole LSH path is oracle-checked."""
+    from loongcollector_spark.operators.dedup import minhash_lsh_pairs_md5
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs_md5(d, num_hashes=16, bands=8, n=2, threshold=0.3)
+
+
 def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (rows-only: FNV/bit votes not SQL-expressible)."""
     from loongcollector_spark.operators.dedup import simhash_dup_pairs
 
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     return simhash_dup_pairs(d, max_hamming=7)
+
+
+def q_simhash_dups_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with md5 token hashes (60-bit) — the fully
+    oracle-checked twin of q_simhash_dups (FNV family stays rows-only)."""
+    from loongcollector_spark.operators.dedup import simhash_dup_pairs_md5
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    return simhash_dup_pairs_md5(d, max_hamming=7)
 
 
 def q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1003,7 +1022,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "charset_jaccard": q_charset_jaccard,
         "minhash_lsh": q_minhash_lsh,
+        "minhash_lsh_md5": q_minhash_lsh_md5,
         "simhash_dups": q_simhash_dups,
+        "simhash_dups_md5": q_simhash_dups_md5,
         "embedding_dups": q_embedding_dups,
         "embedding_dups_lsh": q_embedding_dups_lsh,
         "language_id": q_language_id,
@@ -1116,6 +1137,47 @@ def oracle_sql() -> dict[str, str]:
             join sz sb on sb.doc_id = ib
             where round(n_inter * 1.0 / (sa.sz + sb.sz - n_inter), 6) >= 0.3
         """,
+        "minhash_lsh_md5": f"""
+            with w as (select doc_id, string_split({norm}, ' ') as ws from documents),
+            g as (
+              select distinct doc_id, gram from (
+                select doc_id,
+                       unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) as gram
+                from w)
+            ),
+            sig as (
+              select doc_id, j,
+                     min(cast(('0x' || substr(md5(gram || '#' || j), 1, 15)) as bigint)) as h
+              from g cross join (select unnest(range(16)) as j)
+              group by doc_id, j
+            ),
+            bands as (
+              select doc_id, cast(j // 2 as int) as band,
+                     cast(('0x' || substr(md5(string_agg(cast(h as varchar), ','
+                                                         order by j)), 1, 15)) as bigint) as bh
+              from sig group by doc_id, j // 2
+            ),
+            cand as (
+              select distinct a.doc_id as id_a, b.doc_id as id_b
+              from bands a join bands b
+                on a.band = b.band and a.bh = b.bh and a.doc_id < b.doc_id
+            ),
+            gs as (select doc_id, count(*) as sz from g group by 1),
+            inter as (
+              select a.doc_id as ia, b.doc_id as ib, count(*) as n_inter
+              from g a join g b on a.gram = b.gram and a.doc_id < b.doc_id
+              group by 1, 2
+            )
+            select c.id_a, c.id_b,
+                   round(coalesce(i.n_inter, 0) * 1.0
+                         / (sa.sz + sb.sz - coalesce(i.n_inter, 0)), 6) as jaccard
+            from cand c
+            join gs sa on sa.doc_id = c.id_a
+            join gs sb on sb.doc_id = c.id_b
+            left join inter i on i.ia = c.id_a and i.ib = c.id_b
+            where round(coalesce(i.n_inter, 0) * 1.0
+                        / (sa.sz + sb.sz - coalesce(i.n_inter, 0)), 6) >= 0.3
+        """,
         "charset_jaccard": """
             with ch as (select doc_id, lang, list_distinct(string_split(text, '')) as cs
                         from documents where doc_id < 200)
@@ -1125,6 +1187,34 @@ def oracle_sql() -> dict[str, str]:
             from ch a join ch b on a.lang = b.lang and a.doc_id < b.doc_id
             where round(len(list_intersect(a.cs, b.cs)) * 1.0
                         / len(list_distinct(list_concat(a.cs, b.cs))), 6) >= 0.9
+        """,
+        "simhash_dups_md5": r"""
+            with d as (select doc_id, text from documents where doc_id < 500),
+            tok as (
+              select doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) as tok
+              from d where length(trim(text)) > 0),
+            h as (select doc_id, cast(('0x' || substr(md5(tok), 1, 15)) as bigint) as h from tok),
+            votes as (
+              select doc_id, b,
+                     sum(case when (h >> b) & 1 = 1 then 1 else -1 end) as vote
+              from h cross join (select unnest(range(60)) as b)
+              group by 1, 2),
+            sim as (
+              select doc_id,
+                     cast(sum(case when vote > 0 then (cast(1 as bigint) << b) else 0 end)
+                          as bigint) as s
+              from votes group by 1),
+            allsim as (
+              select d.doc_id, coalesce(sim.s, 0) as s from d left join sim using (doc_id)),
+            blocks as (
+              select doc_id, s, b as blk, (s >> (b * 7)) & 127 as bits
+              from allsim cross join (select unnest(range(8)) as b)),
+            cand as (
+              select distinct a.doc_id as id_a, c.doc_id as id_b,
+                     bit_count(xor(a.s, c.s)) as hamming
+              from blocks a join blocks c
+                on a.blk = c.blk and a.bits = c.bits and a.doc_id < c.doc_id)
+            select id_a, id_b, cast(hamming as int) as hamming from cand where hamming <= 7
         """,
         "embedding_dups": """
             select a.vec_id as id_a, b.vec_id as id_b,

@@ -177,6 +177,96 @@ def minhash_signatures(
     return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
 
 
+def _md5_long(col: Column) -> Column:
+    """First 60 bits of md5 as a non-negative long — the ORACLE-REPLAYABLE
+    hash family (DuckDB: ('0x'||substr(md5(x),1,15))::bigint). ~3× slower than
+    xxhash64; used by the *_md5 variants whose whole point is that the DuckDB
+    twin reproduces every signature bit."""
+    return F.conv(F.substring(F.md5(col.cast("binary")), 1, 15), 16, 10).cast("long")
+
+
+def minhash_signatures_md5(
+    df: DataFrame,
+    num_hashes: int = 16,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash signatures with the md5 family: sig[j] = min over grams of
+    md5_long(gram || '#' || j)."""
+    grams = word_ngrams(F.col(text_col), n)
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(grams, lambda g, j=j: _md5_long(F.concat(g, F.lit(f"#{j}"))))
+            )
+            for j in range(num_hashes)
+        ]
+    )
+    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+
+
+def minhash_lsh_pairs_md5(
+    df: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 8,
+    n: int = 2,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """minhash_lsh_pairs with the md5 hash family — bit-for-bit replayable in
+    DuckDB, so the ENTIRE LSH path (signatures, banding, candidates, verify)
+    sits under the correctness gate instead of a rows-only check. Production
+    uses the xxhash64 variant (faster); this one is the auditable twin."""
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sigs = minhash_signatures_md5(df, num_hashes, n, text_col, id_col)
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        _md5_long(
+                            F.array_join(
+                                F.transform(
+                                    F.slice("sig", b * r + 1, r), lambda x: x.cast("string")
+                                ),
+                                ",",
+                            )
+                        ).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    grams = df.select(F.col(id_col).alias("id"), word_ngrams(F.col(text_col), n).alias("grams"))
+    ga = grams.select(F.col("id").alias("id_a"), F.col("grams").alias("g_a"))
+    gb = grams.select(F.col("id").alias("id_b"), F.col("grams").alias("g_b"))
+    jac = F.size(F.array_intersect("g_a", "g_b")) / F.size(F.array_union("g_a", "g_b"))
+    return (
+        cands.join(ga, "id_a")
+        .join(gb, "id_b")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     num_hashes: int = 32,
@@ -270,6 +360,79 @@ def _simhash_batch(texts: pd.Series) -> pd.Series:
         votes = bits.sum(axis=0) * 2 - len(toks)  # +1 / -1 majority
         out[i] = np.int64(((votes > 0).astype(np.uint64) * bitcols[0]).sum().astype(np.uint64))
     return pd.Series(out)
+
+
+def _simhash_md5_batch(texts: pd.Series) -> pd.Series:
+    """60-bit SimHash over whitespace tokens with md5-derived token hashes —
+    the oracle-replayable family (DuckDB: ('0x'||substr(md5(tok),1,15))::bigint
+    then per-bit majority votes via unnest(range(60)))."""
+    import hashlib
+
+    out = np.zeros(len(texts), dtype=np.int64)
+    bit_idx = np.arange(60, dtype=np.uint64)
+    for i, t in enumerate(texts):
+        toks = (t or "").lower().split()
+        if not toks:
+            continue
+        hs = np.fromiter(
+            (int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) for tok in toks),
+            dtype=np.uint64,
+            count=len(toks),
+        )
+        # int64 BEFORE the vote arithmetic: a uint64 sum underflows on
+        # sum*2 - n and flips every vote positive
+        bits = ((hs[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int64)
+        votes = bits.sum(axis=0) * 2 - len(toks)
+        out[i] = int(((votes > 0).astype(np.uint64) << bit_idx).sum())
+    return pd.Series(out)
+
+
+def simhash60_md5(df: DataFrame, text_col: str = "text", out: str = "simhash") -> DataFrame:
+    udf = pandas_udf(_simhash_md5_batch, "long")
+    return df.withColumn(out, udf(F.col(text_col)))
+
+
+def simhash_dup_pairs_md5(
+    df: DataFrame, max_hamming: int = 7, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """simhash_dup_pairs with the md5 family over 60 bits — every stage
+    (token hashes, bit votes, pigeonhole blocks, hamming filter) has an exact
+    DuckDB twin, putting the whole SimHash path under the correctness gate.
+    Pigeonhole completeness holds: k+1 blocks over the low (k+1)·⌊60/(k+1)⌋
+    bits — ≤k differing bits leave ≥1 block untouched."""
+    nblocks = max_hamming + 1
+    width = 60 // nblocks
+    sh = simhash60_md5(df.select(F.col(id_col).alias("id"), text_col), text_col)
+    blocked = sh.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("blk"),
+                        F.shiftrightunsigned(F.col("simhash"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("bits"),
+                    )
+                    for b in range(nblocks)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "simhash", F.col("bb.blk").alias("blk"), F.col("bb.bits").alias("bits"))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.bits") == F.col("b.bits"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), ham.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
 
 
 def simhash64(df: DataFrame, text_col: str = "text", out: str = "simhash") -> DataFrame:
