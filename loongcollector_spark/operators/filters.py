@@ -203,17 +203,36 @@ def fields_with_condition(
 ) -> DataFrame:
     """processor_fields_with_condition: first matching case applies field actions.
 
-    Each case: ``{"condition": {key: equals_value, ...},
+    Each case: ``{"condition": {key: value, ...},
+    "relation_operator": "equals|regexp|contains|startwith",
+    "logical_operator": "and|or",
     "add_fields": {...}, "drop_keys": [...]}``
-    (processor_fields_with_condition.go:43). Compiled to one chained
-    when/otherwise over the fields map.
+    (processor_fields_with_condition.go:31-160 — relation applies per field
+    condition, logical combines them; defaults equals/and). Compiled to one
+    chained when/otherwise over the fields map.
     """
     base = F.col(fields_col)
 
     def case_cond(c: dict) -> Column:
-        cond = F.lit(True)
+        rel = c.get("relation_operator", "equals")
+        logical = c.get("logical_operator", "and")
+        terms = []
         for k, v in c.get("condition", {}).items():
-            cond = cond & (base[k] == F.lit(v))
+            fld = base[k]
+            if rel == "regexp":
+                t = fld.rlike(v)
+            elif rel == "contains":
+                t = fld.contains(v)
+            elif rel == "startwith":
+                t = fld.startswith(v)
+            else:
+                t = fld == F.lit(v)
+            terms.append(F.coalesce(t, F.lit(False)))
+        if not terms:
+            return F.lit(True)
+        cond = terms[0]
+        for t in terms[1:]:
+            cond = (cond | t) if logical == "or" else (cond & t)
         return cond
 
     def case_apply(c: dict) -> Column:

@@ -368,3 +368,34 @@ def test_sanitize_non_utf8_byte_fidelity(spark):
     assert out[2] == "a  b"
     assert out[3] == "x你y"
     assert out[4] == "t  z"
+
+
+def test_fields_with_condition_relations(spark):
+    """relation_operator (regexp/contains/startwith) and logical_operator
+    (or) — processor_fields_with_condition.go:31-160."""
+    from loongcollector_spark.operators.filters import fields_with_condition
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(1, "nginx-prod"), (2, "apsara-test"), (3, "other")], "id int, src string"
+    ).withColumn("fields", F.create_map(F.lit("src"), F.col("src")))
+    cases = [
+        {
+            "condition": {"src": "^nginx", "missing": "zzz"},
+            "relation_operator": "regexp",
+            "logical_operator": "or",
+            "add_fields": {"cls": "web"},
+        },
+        {
+            "condition": {"src": "test"},
+            "relation_operator": "contains",
+            "add_fields": {"cls": "testing"},
+        },
+        {
+            "condition": {"src": "oth"},
+            "relation_operator": "startwith",
+            "add_fields": {"cls": "misc"},
+        },
+    ]
+    out = {r["id"]: r["fields"].get("cls") for r in fields_with_condition(df, cases).collect()}
+    assert out == {1: "web", 2: "testing", 3: "misc"}
