@@ -714,3 +714,31 @@ def embedding_dup_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), F.round(cos, 6).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming dedup
+# ---------------------------------------------------------------------------
+
+def stream_exact_dedup(
+    df: "DataFrame",
+    time_col: str = "event_time",
+    watermark: str = "1 hour",
+    key_cols: list[str] | None = None,
+    text_col: str = "text",
+) -> "DataFrame":
+    """Streaming exact dedup: drop rows whose normalized-text key (or explicit
+    ``key_cols``) was already seen within the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` keeps dedup state BOUNDED — keys older
+    than the watermark are evicted, which is the only way streaming dedup
+    survives an unbounded corpus (the batch twin, exact_dedup, keeps the whole
+    key space because a batch is finite). At-least-once semantics across
+    restarts: the streaming checkpoint replays the source offsets and the
+    state store restores seen-keys."""
+    keyed = df
+    if key_cols is None:
+        keyed = df.withColumn("__dedup_key__", normalize_text(F.col(text_col)))
+        key_cols = ["__dedup_key__"]
+    out = keyed.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(key_cols)
+    return out.drop("__dedup_key__") if "__dedup_key__" in out.columns else out

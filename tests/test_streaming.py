@@ -73,3 +73,33 @@ def test_windowed_counts_schema(spark, stream_dirs):
     assert agg.isStreaming
     cols = {f.name for f in agg.schema.fields}
     assert {"w", "route", "n_rows", "n_tok_sum"} <= cols
+
+
+def test_stream_exact_dedup(spark, tmp_path):
+    """Planted duplicate rows are dropped within the watermark horizon."""
+    import pyspark.sql.functions as F
+    from loongcollector_spark.operators.dedup import stream_exact_dedup
+
+    src = str(tmp_path / "in")
+    rows = [
+        (1, "2024-01-01 00:00:00", "the same text"),
+        (2, "2024-01-01 00:01:00", "the  SAME   text"),   # normalized dup of 1
+        (3, "2024-01-01 00:02:00", "something different"),
+    ]
+    spark.createDataFrame(rows, "doc_id int, ts string, text string").withColumn(
+        "event_time", F.col("ts").cast("timestamp")
+    ).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        "doc_id int, ts string, text string, event_time timestamp"
+    ).parquet(src)
+    deduped = stream_exact_dedup(stream, watermark="10 minutes")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {r["doc_id"] for r in spark.sql("select * from dedup_out").collect()}
+    assert 3 in got and len(got) == 2  # one of {1,2} survived, 3 survived
