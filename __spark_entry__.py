@@ -1,8 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry(spark)`` — flagship parse→enrich→route→aggregate pipeline smoke check.
-``queries()`` — one entry per implemented operator from SURVEY.md §2 (plus the
-training-data-pipeline ops: dedup, ANN similarity, text stats), each a callable
+``queries()`` — 70 entries, one per implemented operator from SURVEY.md §2 (plus
+the training-data-pipeline ops: dedup, ANN similarity, text stats), each a callable
 ``(spark, sf_dir) -> DataFrame`` built on the ``loongcollector_spark`` operator
 library.
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL equivalents (same column aliases) for

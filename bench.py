@@ -11,9 +11,11 @@ Runs:
      (default /root/testdata/sf0.1), each fully materialized via the noop sink
      (no driver collect cost).
   3. Scaling evidence (north rule ≥0.8 efficiency between N and 4N executors):
-     the flagship pipeline re-run in fresh subprocess JVMs at local[8] and
-     local[32]; efficiency = rate_32 / (4 × rate_8). Skip with
-     SPARK_GRAFT_SCALING=0.
+     interleaved partition-level parallelism at 2 vs 8 task slots inside one
+     JVM (see measure_scaling — fresh-JVM local[8]/local[32] pairs are
+     corrupted by this host's CPU weather; a pure-JVM cpu_probe and per-run
+     steal_pct/cores_used document that), efficiency = rate_8 / (4 × rate_2).
+     Skip with SPARK_GRAFT_SCALING=0.
 
 Prints ONE JSON line:
   {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
