@@ -665,7 +665,7 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from loongcollector_spark.operators.dedup import minhash_lsh_pairs
 
     d = _t(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(d, num_hashes=32, bands=16, n=2, threshold=0.3)
+    return minhash_lsh_pairs(d, num_hashes=32, bands=16, n=2, threshold=0.3, max_bucket_size=100)
 
 
 def q_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -675,7 +675,7 @@ def q_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     from loongcollector_spark.operators.dedup import minhash_lsh_pairs_md5
 
     d = _t(spark, sf_dir, "documents")
-    return minhash_lsh_pairs_md5(d, num_hashes=16, bands=8, n=2, threshold=0.3)
+    return minhash_lsh_pairs_md5(d, num_hashes=16, bands=8, n=2, threshold=0.3, max_bucket_size=100)
 
 
 def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1157,9 +1157,13 @@ def oracle_sql() -> dict[str, str]:
                                                          order by j)), 1, 15)) as bigint) as bh
               from sig group by doc_id, j // 2
             ),
+            keepb as (
+              select band, bh from bands group by band, bh having count(*) <= 100
+            ),
+            bands2 as (select b.* from bands b join keepb using (band, bh)),
             cand as (
               select distinct a.doc_id as id_a, b.doc_id as id_b
-              from bands a join bands b
+              from bands2 a join bands2 b
                 on a.band = b.band and a.bh = b.bh and a.doc_id < b.doc_id
             ),
             gs as (select doc_id, count(*) as sz from g group by 1),
