@@ -537,7 +537,9 @@ def geoip(
         "left",
     )
     g = F.col("__geo")
-    coord = lambda c: F.format_string("%.8f", g[c])  # noqa: E731
+    # format_string("%.8f", NULL) yields the literal string "null" (Java
+    # String.format semantics) — gate on the input, not the formatted output
+    coord = lambda c: F.when(g[c].isNotNull(), F.format_string("%.8f", g[c]))  # noqa: E731
     emit: list[tuple[str, Column]] = [
         (f"{source_key}_city_", g["city"]),
         (f"{source_key}_province_", g["province"]),
