@@ -67,6 +67,30 @@ def q_route_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return routed.select("doc_id", "route")
 
 
+def q_fanout_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Router multi-sink duplication (Router.cpp:50-82): an 'always' audit
+    sink receives every row, a conditional sink only matching rows — a row in
+    BOTH sinks is the semantics partitionBy cannot express. Flattened to one
+    (sink, event_id) frame for the oracle."""
+    from loongcollector_spark.operators.route import SinkCondition, fan_out
+
+    e = _t(spark, sf_dir, "events")
+    sinks = fan_out(
+        e,
+        [
+            SinkCondition(sink="audit", type="always"),
+            SinkCondition(sink="clicks", type="event_type", value="click"),
+        ],
+    )
+    parts = [
+        df.select(F.lit(name).alias("sink"), "event_id") for name, df in sorted(sinks.items())
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def q_group_content_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     from loongcollector_spark.operators.aggregate import content_value_group
 
@@ -968,6 +992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pipeline_route_counts": q_pipeline_route_counts,
         "route_rows": q_route_rows,
+        "fanout_multi": q_fanout_multi,
         "group_content_values": q_group_content_values,
         "shard_hash": q_shard_hash,
         "parse_regex": q_parse_regex,
@@ -1454,6 +1479,11 @@ def oracle_sql() -> dict[str, str]:
             from documents group by 1
         """,
         "route_rows": f"select doc_id, {route_case} as route from documents",
+        "fanout_multi": """
+            select 'audit' as sink, event_id from events
+            union all
+            select 'clicks', event_id from events where event_type = 'click'
+        """,
         "group_content_values": """
             select source, lang, count(*) as n_events,
                    cast(sum(n_chars) as bigint) as n_tok_sum
