@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry(spark)`` — flagship parse→enrich→route→aggregate pipeline smoke check.
-``queries()`` — 70 entries, one per implemented operator from SURVEY.md §2 (plus
+``queries()`` — 71 entries, one per implemented operator from SURVEY.md §2 (plus
 the training-data-pipeline ops: dedup, ANN similarity, text stats), each a callable
 ``(spark, sf_dir) -> DataFrame`` built on the ``loongcollector_spark`` operator
 library.
