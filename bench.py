@@ -392,8 +392,29 @@ def main() -> None:
         query_secs[name] = round(min(takes), 3)
         total += min(takes)
 
+    def emit(scaling) -> None:
+        print(
+            json.dumps(
+                {
+                    "metric": "parse_route_aggregate_total_sec",
+                    "value": round(total, 3),
+                    "unit": "sec",
+                    "queries": {"flagship_pipeline": pipeline["sec"], **query_secs},
+                    "sf": sf,
+                    "pipeline": pipeline,
+                    "pipeline_blackhole": blackhole,
+                    "scaling": scaling,
+                }
+            ),
+            flush=True,
+        )
+
     scaling = None
     if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
+        # hedge: emit the partial result line NOW — if a harness timeout kills
+        # the (long) scaling phase, the last stdout line is still parseable;
+        # on success the final line below supersedes it
+        emit({"status": "pending (superseded by the final line if present)"})
         spark.stop()  # free the JVM before the subprocess runs
         # Spark-replicated 4x input: enough compute to dominate the ~5s fixed
         # floor (job scheduling + worker spin-up) for the N-vs-4N criterion.
@@ -407,17 +428,7 @@ def main() -> None:
         except Exception as ex:  # never let scaling kill the headline output
             scaling = {"error": str(ex)[:200]}
 
-    out = {
-        "metric": "parse_route_aggregate_total_sec",
-        "value": round(total, 3),
-        "unit": "sec",
-        "queries": {"flagship_pipeline": pipeline["sec"], **query_secs},
-        "sf": sf,
-        "pipeline": pipeline,
-        "pipeline_blackhole": blackhole,
-        "scaling": scaling,
-    }
-    print(json.dumps(out))
+    emit(scaling)
 
 
 if __name__ == "__main__":
