@@ -169,8 +169,10 @@ def compile_spl(df: DataFrame, script: str) -> DataFrame:
             field, psep, ksep = items[0].strip(), _unquote(items[1]), _unquote(items[2])
             toks = F.split(F.col(field), re.escape(psep), -1)
             for k in [k.strip() for k in _split_commas(parts[1])]:
-                val = F.element_at(
-                    F.filter(toks, lambda t: F.substring_index(t, ksep, 1) == F.lit(k)), 1
+                # try_element_at: a line missing the key yields null, not an
+                # ANSI INVALID_ARRAY_INDEX error (Spark 4 defaults ANSI on)
+                val = F.try_element_at(
+                    F.filter(toks, lambda t: F.substring_index(t, ksep, 1) == F.lit(k)), F.lit(1)
                 )
                 out = out.withColumn(
                     k,

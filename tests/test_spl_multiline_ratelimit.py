@@ -118,3 +118,14 @@ def test_rate_limit_stream(spark, tmp_path):
     got = sorted(r["ts"].isoformat() for r in spark.read.parquet(str(tmp_path / "out")).collect())
     # bucket cap 1, refill 1/s: pass at 00.000, 01.000, 02.000 — rest rejected
     assert got == ["2024-01-01T00:00:00", "2024-01-01T00:00:01", "2024-01-01T00:00:02"]
+
+
+def test_spl_parse_kv_missing_key(spark):
+    """parse-kv: a line missing a requested key yields null (try_element_at),
+    never an ANSI INVALID_ARRAY_INDEX error."""
+    from loongcollector_spark.plans.spl import compile_spl
+
+    df = spark.createDataFrame([(1, "a=1&b=2"), (2, "a=9")], "id int, line string")
+    out = compile_spl(df, "* | parse-kv line, '&', '=' as a, b")
+    rows = {r["id"]: (r["a"], r["b"]) for r in out.collect()}
+    assert rows[1] == ("1", "2") and rows[2] == ("9", None)
