@@ -458,7 +458,8 @@ def log_to_metric(
     ).drop("__metrics__")
     out = out.withColumn("__labels__", labels)
     if time_key:
-        out = out.withColumn("__time_nano__", (base[time_key].cast("double") * 1e9).cast("long"))
+        # try_cast: a non-numeric time field must yield null, not an ANSI error
+        out = out.withColumn("__time_nano__", (base[time_key].try_cast("double") * 1e9).cast("long"))
     # strict metric-name validation (logtoslsmetric .go:32-56); the VALUE check
     # mirrors Go's strconv.ParseFloat (.go:172) via try_cast — scientific
     # notation ("1e3") passes, unlike the plain-decimal regex it replaces
@@ -511,7 +512,7 @@ def geoip(
     ``keep_source=False`` drops the source key (.go:98-104)."""
     src = F.col(fields_col)[source_key] if source_is_field else F.col(source_key)
     if ip_value_flag:
-        n = src.cast("long")
+        n = src.try_cast("long")  # non-numeric → null (ANSI mode), mirrors inetNtoa's Atoi
         ip_long = F.when(
             n.isNotNull() & (n >= 0) & (n <= 4294967295),
             # inetNtoa byte-reverses the integer
