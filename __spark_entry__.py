@@ -565,13 +565,88 @@ def q_grok_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", F.col("fields")["w1"].alias("w1"), F.col("num").alias("num"))
 
 
+# OpenSSL known-answer vectors for q_encrypt: hex(IV || AES-128-CBC-PKCS7
+# ciphertext) of 'Customer#%09d' % k, key=000102..0f, iv=101112..1f —
+# precomputed with `openssl enc -aes-128-cbc` (frozen: a drift in
+# encrypt_fields fails the oracle hash).
+ENCRYPT_KAT: list[tuple[int, str]] = [
+    (0, '101112131415161718191A1B1C1D1E1F79AA917FA5534AAB2753669EE074F09F6471A94F8EFC3038DCC1BBBDC381C2B0'),
+    (1, '101112131415161718191A1B1C1D1E1F79AA917FA5534AAB2753669EE074F09F3B1194B07E6732129D06987ED4EFDBD4'),
+    (2, '101112131415161718191A1B1C1D1E1F79AA917FA5534AAB2753669EE074F09F76C123FEDCBCBCA3671FF5A0BBAB3BEC'),
+    (3, '101112131415161718191A1B1C1D1E1F79AA917FA5534AAB2753669EE074F09FB3E4C1A86588F178C06F5B2FE196C02A'),
+    (4, '101112131415161718191A1B1C1D1E1F79AA917FA5534AAB2753669EE074F09F9DAFE482EA51033F142E845BE3F5E12E'),
+    (5, '101112131415161718191A1B1C1D1E1F79AA917FA5534AAB2753669EE074F09FA11264950B40011986183D34886F1270'),
+    (6, '101112131415161718191A1B1C1D1E1F79AA917FA5534AAB2753669EE074F09F6B5521CA3F2A25456F6D88FE979E5B91'),
+    (7, '101112131415161718191A1B1C1D1E1F79AA917FA5534AAB2753669EE074F09FB363A5BD8CF80E692A7CF60DE58FA5D8'),
+    (8, '101112131415161718191A1B1C1D1E1F79AA917FA5534AAB2753669EE074F09FF71CAF3FC9522F024EAC1E038A5893D2'),
+    (9, '101112131415161718191A1B1C1D1E1F79AA917FA5534AAB2753669EE074F09F2054A2CDFE17C4E3F174F7CC9EC2B416'),
+    (10, '101112131415161718191A1B1C1D1E1F79AA917FA5534AAB2753669EE074F09FA97C04BE4E392F7C675BB51DF84E315F'),
+    (11, '101112131415161718191A1B1C1D1E1F79AA917FA5534AAB2753669EE074F09F293626D563F31C476E1D5054FF73A07D'),
+    (12, '101112131415161718191A1B1C1D1E1F79AA917FA5534AAB2753669EE074F09F96945F42578F8DC9879598BBEFF2EE1D'),
+    (13, '101112131415161718191A1B1C1D1E1F79AA917FA5534AAB2753669EE074F09FAE95C11E5B2A963DE44084BC45D7CEBB'),
+    (14, '101112131415161718191A1B1C1D1E1F79AA917FA5534AAB2753669EE074F09FF706B076FE420CCC13EB004C8D125B41'),
+    (15, '101112131415161718191A1B1C1D1E1F79AA917FA5534AAB2753669EE074F09F2A1CD125EC08E54170851B1AB4035028'),
+    (16, '101112131415161718191A1B1C1D1E1F79AA917FA5534AAB2753669EE074F09F7DB7FA060F9EA49F288C011217DD9589'),
+    (17, '101112131415161718191A1B1C1D1E1F79AA917FA5534AAB2753669EE074F09FA69CAC28345505F6736D42531258E61C'),
+    (18, '101112131415161718191A1B1C1D1E1F79AA917FA5534AAB2753669EE074F09F2A0573B45EDE54AA4E4334A56E9058EC'),
+    (19, '101112131415161718191A1B1C1D1E1F79AA917FA5534AAB2753669EE074F09F76CD04E942A5D0EFF248FBA658267ACB'),
+    (20, '101112131415161718191A1B1C1D1E1F79AA917FA5534AAB2753669EE074F09F500AA8A87F733FAB14EF72B18F84404A'),
+    (21, '101112131415161718191A1B1C1D1E1F79AA917FA5534AAB2753669EE074F09FD368E2DED6507DC155C9F014AADDE231'),
+    (22, '101112131415161718191A1B1C1D1E1F79AA917FA5534AAB2753669EE074F09FE0F468A98BEEC0ABBBDD77BC7781A895'),
+    (23, '101112131415161718191A1B1C1D1E1F79AA917FA5534AAB2753669EE074F09F97E60F03DC0143C04587F4DEAFE79725'),
+    (24, '101112131415161718191A1B1C1D1E1F79AA917FA5534AAB2753669EE074F09F059356CD4D6F039A71BDE990698D1615'),
+    (25, '101112131415161718191A1B1C1D1E1F79AA917FA5534AAB2753669EE074F09F969FB559095675DAC4C9F842F3AA3996'),
+    (26, '101112131415161718191A1B1C1D1E1F79AA917FA5534AAB2753669EE074F09FE6E379E42592A29FBB88755D0E2514F2'),
+    (27, '101112131415161718191A1B1C1D1E1F79AA917FA5534AAB2753669EE074F09F3DDFD442E9DE572216C69DCBCD3085A2'),
+    (28, '101112131415161718191A1B1C1D1E1F79AA917FA5534AAB2753669EE074F09F69BA1D1D75A42DF52D0B3A056D307D72'),
+    (29, '101112131415161718191A1B1C1D1E1F79AA917FA5534AAB2753669EE074F09F7F7A247B7434BA93C81AE13A3FABE07E'),
+    (30, '101112131415161718191A1B1C1D1E1F79AA917FA5534AAB2753669EE074F09FE38F16419ABE1A1A6EB505FEFA572479'),
+    (31, '101112131415161718191A1B1C1D1E1F79AA917FA5534AAB2753669EE074F09F6DE2517329B3A2A8E8A534444B3D086F'),
+    (32, '101112131415161718191A1B1C1D1E1F79AA917FA5534AAB2753669EE074F09F806613F71503AC38C7C431CF4AB59132'),
+    (33, '101112131415161718191A1B1C1D1E1F79AA917FA5534AAB2753669EE074F09F1B76D411D44E0F68D23CB994BA2F1B98'),
+    (34, '101112131415161718191A1B1C1D1E1F79AA917FA5534AAB2753669EE074F09FB551408E81DEF206D2BCA92096DA3814'),
+    (35, '101112131415161718191A1B1C1D1E1F79AA917FA5534AAB2753669EE074F09FB1B5A8174692A67E21DAADAC8079ADEC'),
+    (36, '101112131415161718191A1B1C1D1E1F79AA917FA5534AAB2753669EE074F09F626D0BC6989D474D5923D4A2728AB021'),
+    (37, '101112131415161718191A1B1C1D1E1F79AA917FA5534AAB2753669EE074F09F03931403AE2EEFA38E7C042F3394D210'),
+    (38, '101112131415161718191A1B1C1D1E1F79AA917FA5534AAB2753669EE074F09F92B563F0098165A7A9B488A96125FA58'),
+    (39, '101112131415161718191A1B1C1D1E1F79AA917FA5534AAB2753669EE074F09F79825DA945112839623511D946CC5531'),
+    (40, '101112131415161718191A1B1C1D1E1F79AA917FA5534AAB2753669EE074F09F344F04947E66C3696B7F9455D626B82F'),
+    (41, '101112131415161718191A1B1C1D1E1F79AA917FA5534AAB2753669EE074F09F061AB711D285F40C9D80E8FCE62C3991'),
+    (42, '101112131415161718191A1B1C1D1E1F79AA917FA5534AAB2753669EE074F09F9FA9F9203F6A863AE199E5AFFF5C5F76'),
+    (43, '101112131415161718191A1B1C1D1E1F79AA917FA5534AAB2753669EE074F09F4E9627206D9604B05F3E07B187096AC6'),
+    (44, '101112131415161718191A1B1C1D1E1F79AA917FA5534AAB2753669EE074F09F791DD0C3956159023EA07CF207F3160F'),
+    (45, '101112131415161718191A1B1C1D1E1F79AA917FA5534AAB2753669EE074F09F4CF9A7EC1205A2A9E1C07BA6CDD887C1'),
+    (46, '101112131415161718191A1B1C1D1E1F79AA917FA5534AAB2753669EE074F09F9D96A0E1EAF4344483882FAEFC518CAB'),
+    (47, '101112131415161718191A1B1C1D1E1F79AA917FA5534AAB2753669EE074F09FB9B09948C5818D4C2ACFC1189D674C53'),
+    (48, '101112131415161718191A1B1C1D1E1F79AA917FA5534AAB2753669EE074F09FF0F9C27E887604EF0823ED28A42E74D2'),
+    (49, '101112131415161718191A1B1C1D1E1F79AA917FA5534AAB2753669EE074F09FFFD915D3CC23029AB86303B51BA50C94'),
+    (50, '101112131415161718191A1B1C1D1E1F79AA917FA5534AAB2753669EE074F09F24C702D6854A57254634A6A7F5A73105'),
+    (51, '101112131415161718191A1B1C1D1E1F79AA917FA5534AAB2753669EE074F09FA8C1CB835F270BF5B4B331B36B174ED0'),
+    (52, '101112131415161718191A1B1C1D1E1F79AA917FA5534AAB2753669EE074F09FB9B55E73D1CC632D029150DA4A8CFA55'),
+    (53, '101112131415161718191A1B1C1D1E1F79AA917FA5534AAB2753669EE074F09FE38AAF8666BDF0FC78E89236FA171D19'),
+    (54, '101112131415161718191A1B1C1D1E1F79AA917FA5534AAB2753669EE074F09F7643F41DE24DB4E40A65089752456A66'),
+    (55, '101112131415161718191A1B1C1D1E1F79AA917FA5534AAB2753669EE074F09F0B9839BBDB3B7323E8977724DB0442EE'),
+    (56, '101112131415161718191A1B1C1D1E1F79AA917FA5534AAB2753669EE074F09FC807E1D5DD5F1761742A3E104CC6816F'),
+    (57, '101112131415161718191A1B1C1D1E1F79AA917FA5534AAB2753669EE074F09FA57BAE444E8CC9706E4D2A35E3298E3C'),
+    (58, '101112131415161718191A1B1C1D1E1F79AA917FA5534AAB2753669EE074F09F36FE44C78AE51290686463AA927122C3'),
+    (59, '101112131415161718191A1B1C1D1E1F79AA917FA5534AAB2753669EE074F09F94D16037AE6843CAAA57C8219D52AE4F'),
+    (60, '101112131415161718191A1B1C1D1E1F79AA917FA5534AAB2753669EE074F09FE140ED64C2A3BFCB71831EFA40775947'),
+    (61, '101112131415161718191A1B1C1D1E1F79AA917FA5534AAB2753669EE074F09F06FB930F9D8114860DECBE8D4040ECB5'),
+    (62, '101112131415161718191A1B1C1D1E1F79AA917FA5534AAB2753669EE074F09F1DBCB161BB83391EE91591FAB789CF02'),
+    (63, '101112131415161718191A1B1C1D1E1F79AA917FA5534AAB2753669EE074F09FBE85DFFBD03B7342BE684CA5B2B8ADEB'),
+]
+
+
 def q_encrypt(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """AES-128-CBC/PKCS with explicit IV is deterministic — rows+schema checked
-    (DuckDB has no AES; the known-answer vector lives in pytest)."""
+    """AES-128-CBC/PKCS with explicit IV is deterministic — checked against
+    frozen OpenSSL known-answer ciphertexts (``ENCRYPT_KAT``). DuckDB has no
+    AES, so the oracle is a VALUES join of the precomputed hex literals; the
+    query pins ``c_custkey < 64`` (names are a pure function of custkey and
+    identical at every SF) so the answer set is closed."""
     from loongcollector_spark.operators.enrich import encrypt_fields
 
     out = encrypt_fields(
-        _cust_fields(spark, sf_dir),
+        _cust_fields(spark, sf_dir).where(F.col("c_custkey") < 64),
         ["name"],
         key_hex="000102030405060708090a0b0c0d0e0f",
         iv_hex="101112131415161718191a1b1c1d1e1f",
@@ -989,7 +1064,48 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Query registry. ORDER MATTERS: the driver's correctness gate reads only
+    the FIRST 50 entries (both CORRECTNESS_r01/r02 files contain exactly 50
+    rows). Window policy (tools/driver_check.py --coverage enforces it):
+
+      1. never-driver-checked and rewritten-since-last-green queries first;
+      2. then queries whose last green row is one round old (r01);
+      3. then this round's code-touched queries + the rest of the r02 greens;
+      4. tail (positions 51-71): queries green in BOTH r01 and r02 and
+         untouched since — the lowest-risk rotation candidates for r04.
+    """
     return {
+        # --- never checked by any driver round (positions 51-71 in r02) ---
+        "minhash_lsh_md5": q_minhash_lsh_md5,
+        "simhash_dups_md5": q_simhash_dups_md5,
+        "embedding_dups_lsh": q_embedding_dups_lsh,
+        "json_flatten": q_json_flatten,
+        "windowed_counts": q_windowed_counts,
+        "tpch_q6": q_tpch_q6,
+        "spl_stats": q_spl_stats,
+        "spl_kv": q_spl_kv,
+        "multiline_merge": q_multiline_merge,
+        "rate_limit": q_rate_limit,
+        # --- rewritten after their last green row (r01) ---
+        "ngram_jaccard": q_ngram_jaccard,
+        "embedding_dups": q_embedding_dups,
+        "minhash_lsh": q_minhash_lsh,
+        # --- was no_oracle in r02; now has a known-answer VALUES oracle ---
+        "encrypt": q_encrypt,
+        # --- last green in r01 (rotated out of the r02 window) ---
+        "dedup_exact_norm": q_dedup_exact_norm,
+        "charset_jaccard": q_charset_jaccard,
+        "simhash_dups": q_simhash_dups,
+        "language_id": q_language_id,
+        "quality_score": q_quality_score,
+        "token_count_bpe": q_token_count_bpe,
+        "fingerprint": q_fingerprint,
+        "grok": q_grok,
+        # --- r02 greens kept in-window (incl. everything touched this round) ---
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "cloud_meta": q_cloud_meta,
+        "geoip": q_geoip,
         "pipeline_route_counts": q_pipeline_route_counts,
         "route_rows": q_route_rows,
         "fanout_multi": q_fanout_multi,
@@ -1003,20 +1119,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_timestamp": q_parse_timestamp,
         "filter_expression": q_filter_expression,
         "filter_include_exclude": q_filter_include_exclude,
-        "dict_map": q_dict_map,
-        "desensitize_const": q_desensitize_const,
-        "md5_field": q_md5_field,
-        "base64": q_base64,
         "dedup_exact": q_dedup_exact,
-        "token_count": q_token_count,
-        "topk_per_group": q_topk_per_group,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5ish": q_tpch_q5ish,
         "events_sessions": q_events_sessions,
-        # transform parity ops
+        "metadata_group": q_metadata_group,
+        "context_pack": q_context_pack,
+        "split_log_regex": q_split_log_regex,
+        "appender_template": q_appender_template,
+        "appender_sort_labels": q_appender_sort_labels,
+        "grok_typed": q_grok_typed,
+        # ---- position 51+: green in BOTH r01+r02, untouched; r04 rotation ----
+        "token_count": q_token_count,
+        "topk_per_group": q_topk_per_group,
         "rename_keys": q_rename_keys,
         "add_fields": q_add_fields,
         "appender": q_appender,
@@ -1032,40 +1148,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "log_to_metric": q_log_to_metric,
         "base64_decode": q_base64_decode,
         "desensitize_md5_mode": q_desensitize_md5_mode,
-        # round-2 operator parity
-        "geoip": q_geoip,
-        "cloud_meta": q_cloud_meta,
-        "metadata_group": q_metadata_group,
-        "context_pack": q_context_pack,
-        "split_log_regex": q_split_log_regex,
-        "appender_template": q_appender_template,
-        "appender_sort_labels": q_appender_sort_labels,
-        "grok_typed": q_grok_typed,
-        "encrypt": q_encrypt,
-        # training-data ops v2
-        "dedup_exact_norm": q_dedup_exact_norm,
-        "ngram_jaccard": q_ngram_jaccard,
-        "charset_jaccard": q_charset_jaccard,
-        "minhash_lsh": q_minhash_lsh,
-        "minhash_lsh_md5": q_minhash_lsh_md5,
-        "simhash_dups": q_simhash_dups,
-        "simhash_dups_md5": q_simhash_dups_md5,
-        "embedding_dups": q_embedding_dups,
-        "embedding_dups_lsh": q_embedding_dups_lsh,
-        "language_id": q_language_id,
-        "quality_score": q_quality_score,
-        "token_count_bpe": q_token_count_bpe,
-        "fingerprint": q_fingerprint,
-        # grok / flatten / window / q6
-        "grok": q_grok,
-        "json_flatten": q_json_flatten,
-        "windowed_counts": q_windowed_counts,
-        "tpch_q6": q_tpch_q6,
-        # SPL / multiline / rate limit
-        "spl_stats": q_spl_stats,
-        "spl_kv": q_spl_kv,
-        "multiline_merge": q_multiline_merge,
-        "rate_limit": q_rate_limit,
+        "dict_map": q_dict_map,
+        "desensitize_const": q_desensitize_const,
+        "md5_field": q_md5_field,
+        "base64": q_base64,
     }
 
 
@@ -1470,9 +1556,19 @@ def oracle_sql() -> dict[str, str]:
             from customer
         """,
     }
+    encrypt_vals = ", ".join(f"({k}, '{ct}')" for k, ct in ENCRYPT_KAT)
     return {
         **training,
         **transforms,
+        # known-answer check: ciphertexts frozen from OpenSSL (see ENCRYPT_KAT);
+        # the join against customer pins the key set to real table rows
+        "encrypt": f"""
+            select c.c_custkey, v.name_enc
+            from customer c
+            join (values {encrypt_vals}) v(c_custkey, name_enc)
+              on c.c_custkey = v.c_custkey
+            where c.c_custkey < 64
+        """,
         "pipeline_route_counts": f"""
             select {route_case} as route, count(*) as n_rows,
                    cast(sum(n_chars) as bigint) as n_chars_sum
