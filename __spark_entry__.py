@@ -491,6 +491,28 @@ def q_cloud_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cloud_meta_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested JSONPath insert (cloud_meta.go:120-140): metadata lands in a
+    created ``meta`` object inside the JSON held at field ``data``. Output
+    JSON has sorted keys, so the oracle literal-builds the exact string."""
+    from loongcollector_spark.operators.enrich import cloud_meta
+
+    base = _t(spark, sf_dir, "customer").withColumn(
+        "fields",
+        F.create_map(
+            F.lit("data"),
+            F.concat(F.lit('{"seg":"'), F.col("c_mktsegment"), F.lit('"}')),
+        ),
+    )
+    out = cloud_meta(
+        base,
+        metadata=["__cloud_instance_id__", "__cloud_region__"],
+        rename={"__cloud_instance_id__": "iid", "__cloud_region__": "region"},
+        json_path="data.meta",
+    )
+    return out.select("c_custkey", F.col("fields")["data"].alias("data_json"))
+
+
 def q_metadata_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     from loongcollector_spark.operators.aggregate import metadata_group_counts
 
@@ -1105,6 +1127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_cosine_topk": q_ann_cosine_topk,
         "cloud_meta": q_cloud_meta,
+        "cloud_meta_nested": q_cloud_meta_nested,
         "geoip": q_geoip,
         "pipeline_route_counts": q_pipeline_route_counts,
         "route_rows": q_route_rows,
@@ -1194,7 +1217,7 @@ def _lsh_oracle_sql() -> str:
           from b a join b c on a.band = c.band and a.bucket = c.bucket and a.vec_id < c.vec_id
         ),
         pairs as (
-          select id_a, id_b, round(list_cosine_similarity(va.vec, vb.vec), 6) as cos
+          select id_a, id_b, round(list_cosine_similarity(va.vec, vb.vec), 4) as cos
           from cand
           join v va on va.vec_id = id_a
           join v vb on vb.vec_id = id_b
@@ -1334,10 +1357,10 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dups": """
             select a.vec_id as id_a, b.vec_id as id_b,
                    round(list_cosine_similarity(cast(a.embedding as double[]),
-                                                cast(b.embedding as double[])), 6) as cos
+                                                cast(b.embedding as double[])), 4) as cos
             from embeddings a join embeddings b on a.vec_id < b.vec_id
             where round(list_cosine_similarity(cast(a.embedding as double[]),
-                                               cast(b.embedding as double[])), 6) >= 0.4
+                                               cast(b.embedding as double[])), 4) >= 0.4
         """,
         "embedding_dups_lsh": _lsh_oracle_sql(),
         "language_id": f"""
@@ -1504,6 +1527,13 @@ def oracle_sql() -> dict[str, str]:
         "cloud_meta": """
             select c_custkey, 'i-mock0001' as iid, 'mock-region-1' as region,
                    'mock-zone-a' as zone
+            from customer
+        """,
+        # nested insert emits sorted-key compact JSON — literal-constructible
+        "cloud_meta_nested": """
+            select c_custkey,
+                   '{"meta":{"iid":"i-mock0001","region":"mock-region-1"},"seg":"'
+                     || c_mktsegment || '"}' as data_json
             from customer
         """,
         "metadata_group": """

@@ -31,6 +31,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _validate_run_id(run_id: str) -> str:
+    """Catalog filenames are ``<run_id>__<stage>.json``: a run_id containing
+    the ``__`` separator would make another run's files list under this run's
+    prefix (stages('run1') picking up 'run1__x__stage.json' as stage
+    'x__stage') — and resume could then report sinks of a different run."""
+    if "__" in run_id or "/" in run_id or not run_id:
+        raise ValueError(f"run_id must be non-empty and contain no '__' or '/': {run_id!r}")
+    return run_id
+
+
 class CheckpointLog:
     """Append-only commit log: one JSON file per (run_id, stage), written
     atomically. Readable as a DataFrame for monitoring/lineage queries."""
@@ -40,7 +50,7 @@ class CheckpointLog:
         os.makedirs(root, exist_ok=True)
 
     def _path(self, run_id: str, stage: str) -> str:
-        return os.path.join(self.root, f"{run_id}__{stage}.json")
+        return os.path.join(self.root, f"{_validate_run_id(run_id)}__{stage}.json")
 
     def committed(self, run_id: str, stage: str) -> bool:
         return os.path.exists(self._path(run_id, stage))
@@ -74,7 +84,7 @@ class CheckpointLog:
 
     def stages(self, run_id: str) -> list[str]:
         """Committed stage names for a run (catalog listing for resume)."""
-        prefix = f"{run_id}__"
+        prefix = f"{_validate_run_id(run_id)}__"
         return sorted(
             f[len(prefix):-5]
             for f in os.listdir(self.root)
@@ -132,7 +142,7 @@ class ResumableRun:
     def __init__(self, spark: SparkSession, out_root: str, run_id: str | None = None) -> None:
         self.spark = spark
         self.out_root = out_root
-        self.run_id = run_id or uuid.uuid4().hex[:12]
+        self.run_id = _validate_run_id(run_id) if run_id else uuid.uuid4().hex[:12]
         self.log = CheckpointLog(os.path.join(out_root, "_checkpoint"))
         self.executed: list[str] = []  # stages actually run (not resumed-over)
         os.makedirs(out_root, exist_ok=True)

@@ -44,11 +44,20 @@ def ivf_assign(
     )
     v = df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
     scored = v.join(c).withColumn("c_cos", F.round(cosine(F.col("v"), F.col("c_vec")), 6))
-    w = Window.partitionBy("id").orderBy(F.col("c_cos").desc(), F.col("centroid_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("id", "centroid_id")
+    # argmax as a hash aggregate (max_by) rather than a row_number window: the
+    # window sorts all N·K fan-out rows inside each shuffle partition; the agg
+    # does a map-side partial argmax so only K-way reduced rows cross the
+    # shuffle — the difference at 10^9 vectors. The ordering key packs
+    # (cos, -centroid_id) into ONE bigint so the planner picks HashAggregate
+    # (a struct key forces SortAggregate): c_cos is pre-rounded to 6 digits,
+    # so round(c_cos*1e6)*10000 is exact and leaves 4 digits of headroom for
+    # the low-centroid-id tiebreak (requires K ≤ 10000 centroids).
+    order_key = (
+        F.round(F.col("c_cos") * 1e6).cast("bigint") * F.lit(10000).cast("bigint")
+        - F.col("centroid_id").cast("bigint")
+    )
+    return scored.groupBy("id").agg(
+        F.max_by(F.col("centroid_id"), order_key).alias("centroid_id")
     )
 
 

@@ -605,7 +605,12 @@ def embedding_dup_pairs_exact(
         Mb = Ma if j == i else np.stack(B["v"].values)
         Na = Ma / np.linalg.norm(Ma, axis=1, keepdims=True)
         Nb = Na if j == i else Mb / np.linalg.norm(Mb, axis=1, keepdims=True)
-        C = np.round(Na @ Nb.T, 6)
+        # round at 4 digits, NOT 6: the oracle (DuckDB list_cosine_similarity)
+        # sums in a different order than BLAS; the ~1e-15 float64 divergence
+        # must be far inside the rounding quantum or a boundary value flips
+        # the gate hash nondeterministically. Threshold compares the ROUNDED
+        # value on both sides for the same reason.
+        C = np.round(Na @ Nb.T, 4)
         ida = A["id"].values
         idb = B["id"].values
         mask = C >= threshold
@@ -726,7 +731,7 @@ def embedding_dup_pairs_lsh(
     return (
         cands.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("cos", F.round(cos, 6))
+        .withColumn("cos", F.round(cos, 4))  # 4 digits: see chunked-GEMM note
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
@@ -756,7 +761,7 @@ def embedding_dup_pairs(
     cos = cosine(F.col("a.v"), F.col("b.v"))
     return (
         a.join(b, cond)
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), F.round(cos, 6).alias("cos"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), F.round(cos, 4).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
 

@@ -575,9 +575,13 @@ def cloud_meta(
 
     Append mode (no ``json_path``): selected metadata keys (renamed per
     ``RenameMetadata``) merge into the fields map. JSON mode: the metadata
-    merges into the flat JSON object held in field ``json_path`` (top-level
-    path only — the reference's arbitrary-depth JSONPath insert is documented
-    as out of scope; nested non-string values round-trip as serialized JSON).
+    merges into the JSON object held in field ``json_path``; a dotted path
+    (``data.meta.cloud``) navigates/creates nested objects inside that JSON,
+    mirroring the reference's arbitrary-depth JSONPath insert
+    (cloud_meta.go:120-140). The top-level form stays a native
+    from_json/to_json expression (nested non-string values round-trip as
+    serialized JSON); the nested form needs real JSON-object semantics, so it
+    is an Arrow-batched pandas UDF (keys emitted sorted for determinism).
     ``provider`` defaults to the deterministic MOCK_CLOUD_META (the container
     has no cloud metadata endpoint)."""
     src = provider or MOCK_CLOUD_META
@@ -587,14 +591,44 @@ def cloud_meta(
     base = F.coalesce(F.col(fields_col), F.create_map().cast("map<string,string>"))
     if json_path is None:
         return df.withColumn(fields_col, merge_maps(base, add))
-    if "." in json_path:
-        raise NotImplementedError(
-            "nested JSONPath insert (cloud_meta.go:120-140) not supported; "
-            "use a top-level key"
+    field_key, *inner_path = json_path.split(".")
+    if not inner_path:
+        obj = F.coalesce(
+            F.from_json(base[field_key], "map<string,string>"),
+            F.create_map().cast("map<string,string>"),
         )
-    obj = F.coalesce(
-        F.from_json(base[json_path], "map<string,string>"),
-        F.create_map().cast("map<string,string>"),
-    )
-    packed = F.to_json(merge_maps(obj, add))
-    return df.withColumn(fields_col, _set_field(base, json_path, packed, F.lit(True)))
+        packed = F.to_json(merge_maps(obj, add))
+        return df.withColumn(fields_col, _set_field(base, field_key, packed, F.lit(True)))
+
+    import json as _json
+
+    import pandas as pd
+
+    @F.pandas_udf("string")
+    def insert_nested(s: pd.Series) -> pd.Series:
+        def one(txt):
+            try:
+                obj = _json.loads(txt) if txt else {}
+            except (ValueError, TypeError):
+                obj = {}
+            if not isinstance(obj, dict):
+                obj = {}
+            node = obj
+            for seg in inner_path:  # create intermediate objects as the Go code does
+                nxt = node.get(seg)
+                if not isinstance(nxt, dict):
+                    nxt = {}
+                    node[seg] = nxt
+                node = nxt
+            node.update(meta)
+            return _json.dumps(obj, separators=(",", ":"), sort_keys=True)
+
+        return s.map(one)
+
+    # the UDF result must be a plain column before _set_field: Spark rejects
+    # Python UDFs inside higher-order-function lambdas
+    tmp = "__cloud_meta_packed__"
+    out = df.withColumn(tmp, insert_nested(base[field_key]))
+    return out.withColumn(
+        fields_col, _set_field(base, field_key, F.col(tmp), F.lit(True))
+    ).drop(tmp)

@@ -111,3 +111,21 @@ def test_checkpoint_log_dataframe(spark, seq_path, tmp_path):
     assert {r["stage"] for r in df.select("stage").collect()} == {
         "sink_sink_nginx", "sink_sink_apsara", "sink_sink_structured", "sink_sink_default", "counts",
     }
+
+
+def test_run_id_separator_rejected(tmp_path):
+    """run_id may not contain the '__' catalog separator: 'run1' vs 'run1__x'
+    would otherwise cross-list each other's stage files on resume."""
+    import pytest
+    from loongcollector_spark.checkpoint import CheckpointLog, ResumableRun
+
+    log = CheckpointLog(str(tmp_path / "_cp"))
+    with pytest.raises(ValueError):
+        log.record("run1__x", "sink_a", 0, 0, [])
+    with pytest.raises(ValueError):
+        log.stages("bad__id")
+    with pytest.raises(ValueError):
+        ResumableRun(None, str(tmp_path / "out"), run_id="a__b")
+    # clean ids still work
+    log.record("run1", "sink_a", 1, 2, [])
+    assert log.stages("run1") == ["sink_a"]

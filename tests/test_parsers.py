@@ -239,6 +239,38 @@ def test_cloud_meta_modes(spark):
     assert obj == {"a": "1", "__cloud_region__": "mock-region-1"}
 
 
+def test_cloud_meta_nested_jsonpath(spark):
+    """Dotted json_path navigates/creates nested objects (cloud_meta.go:120-140):
+    existing nested dict is merged into; missing intermediates are created;
+    a non-object value at an intermediate is replaced by an object."""
+    from loongcollector_spark.operators.enrich import cloud_meta
+    import json
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(1, '{"meta":{"keep":"y"},"x":"1"}'), (2, "{}"), (3, '{"meta":"notadict"}'), (4, None)],
+        "id int, payload string",
+    ).withColumn("fields", F.create_map(F.lit("payload"), F.col("payload")))
+    out = {
+        r["id"]: json.loads(r["fields"]["payload"])
+        for r in cloud_meta(
+            df, ["__cloud_region__"], rename={"__cloud_region__": "region"},
+            json_path="payload.meta",
+        ).collect()
+    }
+    assert out[1] == {"meta": {"keep": "y", "region": "mock-region-1"}, "x": "1"}
+    assert out[2] == {"meta": {"region": "mock-region-1"}}
+    assert out[3] == {"meta": {"region": "mock-region-1"}}
+    assert out[4] == {"meta": {"region": "mock-region-1"}}
+    # two levels deep, all intermediates created
+    deep = cloud_meta(
+        df.where("id = 2"), ["__cloud_zone__"], json_path="payload.a.b"
+    ).collect()
+    assert json.loads(deep[0]["fields"]["payload"]) == {
+        "a": {"b": {"__cloud_zone__": "mock-zone-a"}}
+    }
+
+
 def test_metadata_group_caps(spark):
     from loongcollector_spark.operators.aggregate import metadata_group_counts
 

@@ -104,8 +104,10 @@ def test_embedding_dup_pairs_exact_gemm(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     gemm = {(r["id_a"], r["id_b"]): r["cos"] for r in gemm_df.collect()}
     assert brute.keys() == gemm.keys() and len(gemm) > 0
+    # both sides round to 4 digits (boundary-flip defense vs the DuckDB
+    # oracle's differently-ordered sums) — rounded values must agree exactly
     for k in brute:
-        assert abs(brute[k] - gemm[k]) < 2e-6
+        assert brute[k] == gemm[k]
 
 
 def test_embedding_dup_pairs_lsh(spark):

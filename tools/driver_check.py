@@ -140,5 +140,65 @@ def main() -> int:
     return n_fail
 
 
+DRIVER_WINDOW = 50  # the harness reads only the first N queries() entries
+
+
+def coverage() -> int:
+    """Gate-coverage hygiene (round-2 failure class: 10 queries were NEVER
+    driver-checked because they sat past position 50 in every round).
+
+    Rules enforced against the union of CORRECTNESS_r*.json:
+      * every queries() entry OUTSIDE the upcoming round's window (the first
+        DRIVER_WINDOW entries) must have a green row in the LATEST correctness
+        file — i.e. nothing rotates out while stale;
+      * never-checked or previously-red queries must sit INSIDE the window.
+    Exit 1 + loud listing otherwise.
+    """
+    import glob
+    import json
+    import os
+    import re as _re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    files = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
+    if not files:
+        print("coverage: no CORRECTNESS_r*.json yet — nothing to enforce")
+        return 0
+    green_round: dict[str, int] = {}
+    checked_round: dict[str, int] = {}
+    rounds = []
+    for f in files:
+        rnd = int(_re.search(r"r(\d+)", os.path.basename(f)).group(1))
+        rounds.append(rnd)
+        with open(f) as fh:
+            data = json.load(fh)
+        for name, row in data.items():
+            checked_round[name] = max(checked_round.get(name, 0), rnd)
+            if row.get("rows_match") and row.get("schema_match") and row.get("hash_match"):
+                green_round[name] = max(green_round.get(name, 0), rnd)
+    latest = max(rounds)
+    names = list(entrymod.queries())
+    window = set(names[:DRIVER_WINDOW])
+    n_fail = 0
+    for name in names:
+        if name in window:
+            continue  # will be checked in the upcoming round
+        if green_round.get(name, 0) < latest:
+            n_fail += 1
+            status = (
+                "NEVER checked" if name not in checked_round
+                else f"last green r{green_round.get(name, 0) or '-'}, last checked r{checked_round[name]}"
+            )
+            print(f"STALE-OUT-OF-WINDOW  {name}: {status} — move into the first {DRIVER_WINDOW} entries")
+    never = [n for n in names if n in window and n not in checked_round]
+    if never:
+        print(f"in-window, first-ever check upcoming ({len(never)}): {', '.join(never)}")
+    print(f"\ncoverage: {n_fail} stale-out-of-window failures "
+          f"(window={DRIVER_WINDOW}, {len(names)} queries, latest=r{latest})")
+    return 1 if n_fail else 0
+
+
 if __name__ == "__main__":
+    if "--coverage" in sys.argv:
+        raise SystemExit(coverage())
     raise SystemExit(main())
