@@ -159,11 +159,102 @@ def media_probe(df: DataFrame) -> DataFrame:
     return df.mapInPandas(_proc, MEDIA_SCHEMA)
 
 
-# --- stubbed codecs ---------------------------------------------------------
+# --- codecs: real PNG decode; other formats stubbed -------------------------
+
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse PNG scanline filtering (spec §9, filters 0-4). None/Sub/Up are
+    vectorized (Sub is a mod-256 cumsum over the pixel axis); Average/Paeth
+    carry a within-row data dependency and loop per pixel — fine at test
+    sizes, and real 100 TB pipelines decode via PIL/libpng anyway (this
+    stdlib path exists so the container has ZERO native-lib dependencies)."""
+    out = np.zeros((h, stride), dtype=np.uint8)
+    row_len = stride + 1
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        row = np.frombuffer(raw[y * row_len + 1 : (y + 1) * row_len], dtype=np.uint8)
+        ftype = raw[y * row_len]
+        if ftype == 0:  # None
+            cur = row.copy()
+        elif ftype == 1:  # Sub
+            px = row.reshape(-1, bpp).astype(np.uint64)
+            cur = (np.cumsum(px, axis=0) & 0xFF).astype(np.uint8).reshape(-1)
+        elif ftype == 2:  # Up
+            cur = row + prev
+        elif ftype == 3:  # Average
+            cur = np.zeros(stride, dtype=np.uint8)
+            for i in range(stride):
+                left = int(cur[i - bpp]) if i >= bpp else 0
+                cur[i] = (int(row[i]) + (left + int(prev[i])) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            cur = np.zeros(stride, dtype=np.uint8)
+            for i in range(stride):
+                a = int(cur[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (int(row[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter {ftype}")
+        out[y] = cur
+        prev = cur
+    return out
+
+
+def _decode_png(payload: bytes) -> "np.ndarray | None":
+    """REAL PNG pixel decode with stdlib zlib + the unfilter above → H×W×3
+    RGB uint8. Supports bit depth 8, color types 0/2/3/4/6, non-interlaced
+    (the overwhelming majority of real PNGs); returns None otherwise so the
+    caller can fall back."""
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, ihdr, plte, idat = 8, None, None, []
+    while pos + 8 <= len(payload):
+        (clen,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + clen]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen  # len + type + crc
+    if ihdr is None or not idat:
+        return None
+    w, h, depth, color, comp, filt, interlace = ihdr
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if depth != 8 or channels is None or comp != 0 or filt != 0 or interlace != 0:
+        return None
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        return None
+    px = _png_unfilter(raw, h, stride, channels).reshape(h, w, channels)
+    if color == 3:  # palette lookup
+        if plte is None:
+            return None
+        return plte[px[:, :, 0]]
+    if color == 0:
+        return np.repeat(px, 3, axis=2)
+    if color == 4:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return px[:, :, :3]  # RGB / RGBA→RGB
+
 
 def _decode_image_stub(payload: bytes) -> np.ndarray:
-    """STUB: real impl = PIL.Image.open(BytesIO(payload)) → np.asarray.
-    Deterministic fake: 8×8×3 uint8 derived from payload digest."""
+    """PNG payloads decode for REAL (stdlib zlib, see _decode_png — verified
+    against known pixel values in the contract test). Other formats (JPEG
+    entropy decode needs libjpeg): deterministic fake 8×8×3 derived from the
+    payload digest, clearly labeled."""
+    arr = _decode_png(payload)
+    if arr is not None:
+        return arr
     d = hashlib.sha256(payload).digest()
     arr = np.frombuffer((d * 6)[: 8 * 8 * 3], dtype=np.uint8)
     return arr.reshape(8, 8, 3)

@@ -372,3 +372,72 @@ def test_media_probe_real_bytes(spark):
     assert out["jpg1"]["meta"]["width"] == 640 and out["jpg1"]["meta"]["height"] == 480
     assert out["mp41"]["kind"] == "video"
     assert out["png1"]["meta"]["n_bytes"] == len(png)
+
+
+def test_png_pixel_decode_real():
+    """REAL pixel decode (stdlib zlib): exact pixel values come back for every
+    filter type (None/Sub/Up/Average/Paeth), grayscale, palette, and RGBA;
+    non-PNG payloads fall back to the labeled deterministic fake."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def chunk(typ, data):
+        c = typ + data
+        return struct.pack(">I", len(data)) + c + struct.pack(">I", zlib.crc32(c))
+
+    def png(w, h, color, raw, plte=None):
+        out = b"\x89PNG\r\n\x1a\n" + chunk(
+            b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+        )
+        if plte is not None:
+            out += chunk(b"PLTE", plte)
+        return out + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+    # RGB 2x2, filter 0: exact round-trip
+    pix = np.array([[[10, 20, 30], [40, 50, 60]], [[70, 80, 90], [100, 110, 120]]], np.uint8)
+    raw = b"".join(b"\x00" + pix[y].tobytes() for y in range(2))
+    got = M._decode_png(png(2, 2, 2, raw))
+    assert np.array_equal(got, pix)
+
+    # filter exercises on a known 3x2 RGB image
+    img = np.array(
+        [[[1, 2, 3], [5, 7, 9], [10, 20, 30]], [[2, 4, 6], [6, 9, 12], [60, 50, 40]]], np.uint8
+    )
+    # row0 Sub (delta from left pixel), row1 Up (delta from row above)
+    row0 = np.concatenate([img[0, 0], (img[0, 1] - img[0, 0]), (img[0, 2] - img[0, 1])])
+    row1 = (img[1] - img[0]).reshape(-1)
+    raw = b"\x01" + row0.astype(np.uint8).tobytes() + b"\x02" + row1.astype(np.uint8).tobytes()
+    assert np.array_equal(M._decode_png(png(3, 2, 2, raw)), img)
+
+    # Average (row0: pred = left/2) and Paeth (row1)
+    r0 = [img[0].reshape(-1)[i] - ((int(img[0].reshape(-1)[i - 3]) if i >= 3 else 0) + 0) // 2
+          for i in range(9)]
+    flat0, flat1 = img[0].reshape(-1).astype(int), img[1].reshape(-1).astype(int)
+    r1 = []
+    for i in range(9):
+        a = flat1[i - 3] if i >= 3 else 0
+        b = flat0[i]
+        c = flat0[i - 3] if i >= 3 else 0
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+        r1.append(flat1[i] - pred)
+    raw = (
+        b"\x03" + np.array(r0, np.uint8).tobytes() + b"\x04" + np.array(r1, np.uint8).tobytes()
+    )
+    assert np.array_equal(M._decode_png(png(3, 2, 2, raw)), img)
+
+    # grayscale -> replicated RGB; palette -> PLTE lookup; RGBA -> alpha dropped
+    g = M._decode_png(png(2, 1, 0, b"\x00\x11\xee"))
+    assert np.array_equal(g, [[[0x11] * 3, [0xEE] * 3]])
+    p = M._decode_png(png(2, 1, 3, b"\x00\x01\x00", plte=bytes([9, 8, 7, 1, 2, 3])))
+    assert np.array_equal(p, [[[1, 2, 3], [9, 8, 7]]])
+    a = M._decode_png(png(1, 1, 6, b"\x00\x05\x06\x07\xff"))
+    assert np.array_equal(a, [[[5, 6, 7]]])
+
+    # real PNG flows through the public decode entry; non-PNG falls back to 8x8 fake
+    assert np.array_equal(M._decode_image_stub(png(2, 2, 2, b"".join(
+        b"\x00" + pix[y].tobytes() for y in range(2)))), pix)
+    assert M._decode_image_stub(b"not a png").shape == (8, 8, 3)
