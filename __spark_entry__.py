@@ -1152,8 +1152,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_log_regex": q_split_log_regex,
         "appender_template": q_appender_template,
         "appender_sort_labels": q_appender_sort_labels,
+        # ---- position 51+: r02-green, untouched; r04 rotation candidates ----
         "grok_typed": q_grok_typed,
-        # ---- position 51+: green in BOTH r01+r02, untouched; r04 rotation ----
         "token_count": q_token_count,
         "topk_per_group": q_topk_per_group,
         "rename_keys": q_rename_keys,
