@@ -680,6 +680,51 @@ def q_encrypt(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Dedup / text stats / similarity (training-data pipeline ops)
 # ---------------------------------------------------------------------------
 
+def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dup-pair → cluster resolution: edges from two overlapping equality
+    relations (20-char text prefix, 20-char suffix — a doc can chain A~B on
+    one key and B~C on the other, so the closure is genuinely transitive),
+    resolved by min-label-propagation connected components; the oracle
+    replays the closure with a recursive CTE."""
+    from loongcollector_spark.operators.dedup import dup_clusters
+
+    d = _t(spark, sf_dir, "documents")
+    keys = d.select(
+        "doc_id",
+        F.substring("text", 1, 20).alias("pk"),
+        F.expr("right(text, 20)").alias("sk"),
+    )
+
+    def eq_pairs(col: str) -> DataFrame:
+        a, b = keys.alias("a"), keys.alias("b")
+        return a.join(
+            b, (F.col(f"a.{col}") == F.col(f"b.{col}")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+        ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+
+    edges = eq_pairs("pk").union(eq_pairs("sk")).distinct()
+    return dup_clusters(edges)
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary top-50 by frequency (+document frequency): one
+    map-side-combined hash agg, takeOrdered top-k, rank window over k rows."""
+    from loongcollector_spark.operators.text import vocab_topk
+
+    return vocab_topk(_t(spark, sf_dir, "documents"), k=50)
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source downsampling (keep 50% of src0, 5% of src1,
+    20% elsewhere) — membership is a pure function of doc_id, so the oracle,
+    a resume, and every parallelism level keep identical rows."""
+    from loongcollector_spark.operators.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    out = stratified_sample(
+        d, "doc_id", "source", {"src0": 0.5, "src1": 0.05}, default_rate=0.2
+    )
+    return out.select("doc_id", "source")
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup on a normalized key (prefix) — representative = min(doc_id)."""
     d = _t(spark, sf_dir, "documents")
@@ -1114,6 +1159,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         # --- was no_oracle in r02; now has a known-answer VALUES oracle ---
         "encrypt": q_encrypt,
+        # --- NEW in r03 (never checked) ---
+        "dedup_cluster": q_dedup_cluster,
+        "vocab_topk": q_vocab_topk,
+        "sample_stratified": q_sample_stratified,
         # --- last green in r01 (rotated out of the r02 window) ---
         "dedup_exact_norm": q_dedup_exact_norm,
         "charset_jaccard": q_charset_jaccard,
@@ -1248,6 +1297,41 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) as rep_doc_id, count(*) as dup_cnt
             from (select {norm} as dup_key, doc_id from documents)
             group by dup_key
+        """,
+        "dedup_cluster": """
+            with recursive
+            k as (select doc_id, substr(text, 1, 20) as pk, right(text, 20) as sk
+                  from documents),
+            e1 as (select a.doc_id as id_a, b.doc_id as id_b
+                   from k a join k b on a.pk = b.pk and a.doc_id < b.doc_id),
+            e2 as (select a.doc_id as id_a, b.doc_id as id_b
+                   from k a join k b on a.sk = b.sk and a.doc_id < b.doc_id),
+            edges as (select * from e1 union select * from e2),
+            und as (select id_a as a, id_b as b from edges
+                    union select id_b, id_a from edges),
+            reach(node, r) as (
+                select a, a from und
+                union
+                select u.a, reach.r from und u join reach on u.b = reach.node
+            )
+            select node as doc_id, min(r) as rep_doc_id,
+                   count(distinct r) as cluster_size
+            from reach group by node
+        """,
+        "vocab_topk": f"""
+            with w as (select doc_id, unnest(string_split({norm}, ' ')) as word
+                       from documents),
+            v as (select word, count(*) as cnt, count(distinct doc_id) as df_cnt
+                  from w where word <> '' group by word)
+            select word, cnt, df_cnt,
+                   row_number() over (order by cnt desc, word) as rank
+            from v order by cnt desc, word limit 50
+        """,
+        "sample_stratified": """
+            select doc_id, source from documents
+            where ('0x' || substr(md5(cast(doc_id as varchar)), 1, 8))::bigint % 10000
+                  < case when source = 'src0' then 5000
+                         when source = 'src1' then 500 else 2000 end
         """,
         "ngram_jaccard": f"""
             with w as (select doc_id, string_split({norm}, ' ') as ws from documents),

@@ -767,6 +767,85 @@ def embedding_dup_pairs(
 
 
 # ---------------------------------------------------------------------------
+# duplicate-cluster resolution (connected components over dup pairs)
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components over an undirected duplicate-pair graph by
+    min-label propagation: every node's label converges to the smallest id
+    reachable from it. Returns (node, lab).
+
+    Every pair generator in this module (ngram/minhash/simhash/embedding)
+    emits PAIRS; turning pairs into dedup decisions needs the transitive
+    closure — A~B and B~C must collapse into one cluster with one canonical
+    doc, which no single equi-join can express.
+
+    Scale: each round is two shuffles (join edges⋈labels on node, then a
+    hash groupBy-min) — all equi-joins on the node id, so AQE handles skew;
+    nothing is ever materialized per-pair beyond the edge list itself. Rounds
+    needed = graph diameter, and near-dup clusters are shallow (stars/chains
+    of a few hops); ``max_iter`` bounds pathological chains. Each round ends
+    with an eager ``localCheckpoint`` — without it the iterative plan's
+    lineage (and analysis time) grows quadratically. The convergence probe is
+    a scalar 0/1-row count per round, not a collect of data rows.
+    """
+    e = edges.select(
+        F.col(id_a).cast("long").alias("a"), F.col(id_b).cast("long").alias("b")
+    )
+    und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    labels = und.select(F.col("a").alias("node")).distinct().withColumn(
+        "lab", F.col("node")
+    )
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr_min = (
+            und.join(labels, und["a"] == labels["node"])
+            .groupBy(F.col("b").alias("nbr"))
+            .agg(F.min("lab").alias("nlab"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["nbr"], "left")
+            .select(
+                "node",
+                F.least(F.col("lab"), F.coalesce(F.col("nlab"), F.col("lab"))).alias("lab"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lab") != F.col("o.lab"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dup_clusters(
+    edges: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 30
+) -> DataFrame:
+    """Resolve dup pairs into clusters: one row per clustered document with
+    its canonical representative (the cluster's min id) and the cluster size.
+    Rows: (doc_id, rep_doc_id, cluster_size); every emitted doc belongs to a
+    cluster of ≥2 (isolated docs never appear in the edge list)."""
+    labels = connected_components(edges, id_a=id_a, id_b=id_b, max_iter=max_iter)
+    sizes = labels.groupBy("lab").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(sizes, "lab").select(
+        F.col("node").alias("doc_id"),
+        F.col("lab").alias("rep_doc_id"),
+        "cluster_size",
+    )
+
+
+# ---------------------------------------------------------------------------
 # streaming dedup
 # ---------------------------------------------------------------------------
 

@@ -11,7 +11,7 @@ no Python in any of these; every one is SQL-oracle-expressible).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny self-authored stopword seed lists (top function words).
@@ -100,6 +100,31 @@ def token_count(
     return df.withColumn(ws_out, F.size(_words(F.col(text_col)))).withColumn(
         bpe_out, F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH), 0))
     )
+
+
+def vocab_topk(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 100
+) -> DataFrame:
+    """Corpus vocabulary: top-k words by total frequency with document
+    frequency and a dense 1..k rank. Rows: (word, cnt, df_cnt, rank).
+
+    Scale shape: explode → ONE hash aggregation keyed by word (partial
+    map-side combine collapses each partition's counts before the shuffle),
+    then ``orderBy().limit(k)`` — Spark's takeOrdered, a per-partition top-k
+    plus a k·P-row merge at the driver side of the exchange, NOT a global
+    sort of the vocabulary. The rank window runs on the k surviving rows
+    only, so its single-partition stage is k rows, never corpus-sized.
+    Ties break on the word itself for determinism."""
+    words = df.select(
+        F.col(id_col).alias("_doc"),
+        F.explode(F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " ", -1)).alias("word"),
+    ).filter(F.col("word") != "")
+    vocab = words.groupBy("word").agg(
+        F.count(F.lit(1)).alias("cnt"), F.countDistinct("_doc").alias("df_cnt")
+    )
+    top = vocab.orderBy(F.col("cnt").desc(), F.col("word")).limit(k)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("word"))
+    return top.withColumn("rank", F.row_number().over(w))
 
 
 def fingerprint(

@@ -441,3 +441,54 @@ def test_png_pixel_decode_real():
     assert np.array_equal(M._decode_image_stub(png(2, 2, 2, b"".join(
         b"\x00" + pix[y].tobytes() for y in range(2)))), pix)
     assert M._decode_image_stub(b"not a png").shape == (8, 8, 3)
+
+
+def test_connected_components_chain(spark):
+    # chain 1-2-3-4 plus isolated pair 10-11: labels collapse to component min
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    labs = {r["node"]: r["lab"] for r in D.connected_components(edges).collect()}
+    assert labs == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_dup_clusters_sizes(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "id_a long, id_b long"
+    )
+    rows = {r["doc_id"]: (r["rep_doc_id"], r["cluster_size"]) for r in
+            D.dup_clusters(edges).collect()}
+    assert rows == {1: (1, 3), 2: (1, 3), 3: (1, 3), 7: (7, 2), 8: (7, 2)}
+
+
+def test_stratified_sample_deterministic(spark):
+    from loongcollector_spark.operators.sampling import stratified_sample
+
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 3).cast("string")).alias("source"),
+    )
+    kept = stratified_sample(df, "doc_id", "source", {"src0": 0.5, "src1": 0.05},
+                             default_rate=0.2)
+    ids1 = sorted(r["doc_id"] for r in kept.collect())
+    # same rows at a different partitioning (membership is keyed, not positional)
+    ids2 = sorted(r["doc_id"] for r in
+                  stratified_sample(df.repartition(13), "doc_id", "source",
+                                    {"src0": 0.5, "src1": 0.05}, 0.2).collect())
+    assert ids1 == ids2 and len(ids1) > 0
+    by_src = {s: 0 for s in ("src0", "src1", "src2")}
+    for r in kept.collect():
+        by_src[r["source"]] += 1
+    # ~667 per stratum: rates 0.5 / 0.05 / 0.2 within loose md5-noise bounds
+    assert 250 < by_src["src0"] < 420
+    assert 10 < by_src["src1"] < 70
+    assert 85 < by_src["src2"] < 195
+
+
+def test_vocab_topk(docs):
+    out = X.vocab_topk(docs, k=5).collect()
+    assert [r["rank"] for r in out] == [1, 2, 3, 4, 5]
+    top = out[0]
+    assert top["word"] == "the" and top["cnt"] == 6 and top["df_cnt"] == 3
+    # ranks ordered by cnt desc then word asc
+    assert all(out[i]["cnt"] >= out[i + 1]["cnt"] for i in range(len(out) - 1))
