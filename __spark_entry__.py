@@ -725,6 +725,63 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select("doc_id", "source")
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appx C style): training docs sharing
+    any word n-gram with the 'benchmark' slice (every 50th doc) are flagged.
+    Benchmark gram set is broadcast — the check rides the corpus scan.
+    n=4 here (vs 13 in GPT-3) so synthetic sf0.01 text yields a non-trivial
+    contaminated set (~19 docs) for the oracle to check."""
+    from loongcollector_spark.operators.decontam import ngram_contamination
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    train = d.filter(F.col("doc_id") % 50 != 0)
+    return ngram_contamination(train, bench, n=4)
+
+
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing into 512-token contexts, per source
+    shard: one window cumsum per shard, chunk ids are pure arithmetic."""
+    from loongcollector_spark.operators.dedup import normalize_text
+    from loongcollector_spark.operators.packing import pack_chunks
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split(normalize_text(F.col("text")), " ", -1)).alias("n_tok"),
+    )
+    return pack_chunks(d, ctx_len=512)
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (emails / IPv4s / phones) over deterministic PII-bearing
+    text synthesized from events columns — native regexp_replace chain, hit
+    counts taken on the pre-redaction text."""
+    from loongcollector_spark.operators.text import pii_redact
+
+    e = _t(spark, sf_dir, "events")
+    txt = F.concat(
+        F.lit("user "),
+        F.col("user_id").cast("string"),
+        F.lit(" <u"),
+        F.col("user_id").cast("string"),
+        F.lit("@mail"),
+        (F.col("user_id") % 7).cast("string"),
+        F.lit(".com> from 10."),
+        (F.col("user_id") % 256).cast("string"),
+        F.lit("."),
+        (F.col("event_id") % 256).cast("string"),
+        F.lit(".5 call +1 555 01"),
+        F.lpad((F.col("event_id") % 100).cast("string"), 2, "0"),
+        F.lit(" re "),
+        F.col("event_type"),
+    )
+    df = e.select("event_id", txt.alias("text"))
+    return pii_redact(df).select(
+        "event_id", "n_email", "n_ipv4", "n_phone", "text_redacted"
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup on a normalized key (prefix) — representative = min(doc_id)."""
     d = _t(spark, sf_dir, "documents")
@@ -1163,6 +1220,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster": q_dedup_cluster,
         "vocab_topk": q_vocab_topk,
         "sample_stratified": q_sample_stratified,
+        "decontaminate": q_decontaminate,
+        "pack_chunks": q_pack_chunks,
+        "pii_redact": q_pii_redact,
         # --- last green in r01 (rotated out of the r02 window) ---
         "dedup_exact_norm": q_dedup_exact_norm,
         "charset_jaccard": q_charset_jaccard,
@@ -1332,6 +1392,63 @@ def oracle_sql() -> dict[str, str]:
             where ('0x' || substr(md5(cast(doc_id as varchar)), 1, 8))::bigint % 10000
                   < case when source = 'src0' then 5000
                          when source = 'src1' then 500 else 2000 end
+        """,
+        "decontaminate": f"""
+            with w as (select doc_id, string_split({norm}, ' ') as ws from documents),
+            g as (select distinct doc_id, gram from (
+                select doc_id,
+                       unnest(list_transform(range(1, len(ws) - 2),
+                              i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                   || ' ' || ws[i+3])) as gram
+                from w)),
+            tg as (select doc_id, gram from g where doc_id % 50 <> 0),
+            bg as (select doc_id as bench_id, gram from g where doc_id % 50 = 0)
+            select tg.doc_id,
+                   count(distinct tg.gram) as hit_grams,
+                   count(distinct bg.bench_id) as bench_docs
+            from tg join bg on tg.gram = bg.gram
+            group by tg.doc_id
+        """,
+        "pack_chunks": f"""
+            with d as (select doc_id, source,
+                              len(string_split({norm}, ' ')) as n_tok
+                       from documents),
+            p as (select doc_id, source as shard, n_tok,
+                         cast(coalesce(sum(n_tok) over (
+                             partition by source order by doc_id
+                             rows between unbounded preceding and 1 preceding
+                         ), 0) as bigint) as start_off
+                  from d)
+            select doc_id, shard, start_off,
+                   start_off // 512 as chunk_first,
+                   (start_off + greatest(n_tok, 1) - 1) // 512 as chunk_last,
+                   (start_off + greatest(n_tok, 1) - 1) // 512
+                       - start_off // 512 + 1 as n_chunks
+            from p
+        """,
+        "pii_redact": r"""
+            with t as (
+              select event_id,
+                     'user ' || cast(user_id as varchar) || ' <u'
+                     || cast(user_id as varchar) || '@mail'
+                     || cast(user_id % 7 as varchar) || '.com> from 10.'
+                     || cast(user_id % 256 as varchar) || '.'
+                     || cast(event_id % 256 as varchar) || '.5 call +1 555 01'
+                     || lpad(cast(event_id % 100 as varchar), 2, '0')
+                     || ' re ' || event_type as text
+              from events)
+            select event_id,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) as n_email,
+                   len(regexp_extract_all(text,
+                       '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) as n_ipv4,
+                   len(regexp_extract_all(text,
+                       '\+[0-9][0-9 -]{7,}[0-9]')) as n_phone,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+                       '\+[0-9][0-9 -]{7,}[0-9]', '<PHONE>', 'g') as text_redacted
+            from t
         """,
         "ngram_jaccard": f"""
             with w as (select doc_id, string_split({norm}, ' ') as ws from documents),

@@ -127,6 +127,34 @@ def vocab_topk(
     return top.withColumn("rank", F.row_number().over(w))
 
 
+# PII patterns: the safe common regex subset (char classes, bounded repeats,
+# non-capturing groups, \b) that Java (Spark) and RE2 (DuckDB/Go) interpret
+# identically — no lookaround, no backrefs. Order matters: emails before
+# phone-ish digit runs so the user part isn't half-eaten.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+[0-9][0-9 -]{7,}[0-9]", "<PHONE>"),
+]
+
+
+def pii_redact(
+    df: DataFrame, text_col: str = "text", out: str = "text_redacted"
+) -> DataFrame:
+    """Scrub emails / IPv4s / international phone numbers, appending a
+    per-category hit count. Pure chained ``regexp_replace`` +
+    ``regexp_extract_all`` projections — scan-side at 100 TB, no shuffle, no
+    Python. Counts are taken on the ORIGINAL text (before any replacement)
+    so categories don't see each other's placeholder tokens."""
+    red = F.col(text_col)
+    for name, pat, repl in PII_PATTERNS:
+        df = df.withColumn(
+            f"n_{name}", F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), 0))
+        )
+        red = F.regexp_replace(red, pat, repl)
+    return df.withColumn(out, red)
+
+
 def fingerprint(
     df: DataFrame, text_col: str = "text", out: str = "fp_md5", out_int: str = "fp64"
 ) -> DataFrame:
