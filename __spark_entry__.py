@@ -782,6 +782,31 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style 2-gram repetition features per document (dup-occurrence
+    fraction + top-gram share) — two map-side-combined hash aggs."""
+    from loongcollector_spark.operators.text import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"), n=2)
+
+
+def q_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-α=0.5 domain mixture over the skewed ``lang`` strata (the
+    synthetic ``source`` strata are exactly uniform — degenerate): natural
+    share p, target share q ∝ p^0.5, downsample-only keep rate."""
+    from loongcollector_spark.operators.sampling import mixture_weights
+
+    return mixture_weights(_t(spark, sf_dir, "documents"), "lang", alpha=0.5)
+
+
+def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup at 10-word-segment granularity: keep each segment's
+    global first occurrence, rebuild cleaned text in position order."""
+    from loongcollector_spark.operators.dedup import segment_dedup
+
+    return segment_dedup(_t(spark, sf_dir, "documents"), seg_words=10)
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup on a normalized key (prefix) — representative = min(doc_id)."""
     d = _t(spark, sf_dir, "documents")
@@ -1223,6 +1248,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "pack_chunks": q_pack_chunks,
         "pii_redact": q_pii_redact,
+        "repetition_stats": q_repetition_stats,
+        "mixture_reweight": q_mixture_reweight,
+        "segment_dedup": q_segment_dedup,
         # --- last green in r01 (rotated out of the r02 window) ---
         "dedup_exact_norm": q_dedup_exact_norm,
         "charset_jaccard": q_charset_jaccard,
@@ -1449,6 +1477,53 @@ def oracle_sql() -> dict[str, str]:
                        '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
                        '\+[0-9][0-9 -]{7,}[0-9]', '<PHONE>', 'g') as text_redacted
             from t
+        """,
+        "repetition_stats": f"""
+            with w as (select doc_id, string_split({norm}, ' ') as ws from documents),
+            g as (select doc_id,
+                         unnest(list_transform(range(1, greatest(len(ws) - 1, 0) + 1),
+                                i -> ws[i] || ' ' || ws[i+1])) as gram
+                  from w),
+            pg as (select doc_id, gram, count(*) as cnt from g group by doc_id, gram)
+            select doc_id, cast(sum(cnt) as bigint) as n_grams,
+                   round((sum(cnt) - count(*)) / sum(cnt), 6) as dup_gram_frac,
+                   round(max(cnt) / sum(cnt), 6) as top_gram_frac
+            from pg group by doc_id
+        """,
+        "mixture_reweight": """
+            with c as (select lang as stratum, count(*) as n_docs
+                       from documents group by lang),
+            t as (select sum(n_docs) as tot,
+                         sum(exp(0.5 * ln(n_docs))) as wtot from c),
+            p as (select stratum, n_docs, n_docs / tot as p,
+                         exp(0.5 * ln(n_docs)) / wtot as q
+                  from c, t),
+            m as (select max(q / p) as rmax from p)
+            select stratum, n_docs, round(p, 6) as p, round(q, 6) as q,
+                   round((q / p) / rmax, 6) as sample_rate
+            from p, m
+        """,
+        "segment_dedup": f"""
+            with w as (select doc_id, string_split({norm}, ' ') as ws from documents),
+            sp as (select doc_id, ws,
+                          unnest(range(0, cast(ceil(len(ws) / 10.0) as int))) as pos
+                   from w),
+            seg as (select doc_id, pos,
+                           array_to_string(list_transform(
+                               range(pos*10 + 1, least((pos+1)*10, len(ws)) + 1),
+                               j -> ws[j]), ' ') as seg
+                    from sp),
+            r as (select doc_id, pos, seg,
+                         row_number() over (partition by seg
+                                            order by doc_id, pos) as rn
+                  from seg),
+            k as (select doc_id, count(*) as n_kept,
+                         string_agg(seg, ' ' order by pos) as text_clean
+                  from r where rn = 1 group by doc_id),
+            n as (select doc_id, cast(ceil(len(ws) / 10.0) as int) as n_segs from w)
+            select n.doc_id, n.n_segs, coalesce(k.n_kept, 0) as n_kept,
+                   coalesce(k.text_clean, '') as text_clean
+            from n left join k on n.doc_id = k.doc_id
         """,
         "ngram_jaccard": f"""
             with w as (select doc_id, string_split({norm}, ' ') as ws from documents),

@@ -845,6 +845,71 @@ def dup_clusters(
     )
 
 
+def segment_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_words: int = 10,
+) -> DataFrame:
+    """Sub-document (paragraph-granularity) exact dedup: split each document
+    into fixed ``seg_words``-word segments, keep only each segment's globally
+    FIRST occurrence (ordered by (doc_id, position) — deterministic), and
+    rebuild the cleaned text from the surviving segments in original order.
+    Rows: (doc_id, n_segs, n_kept, text_clean) — docs whose every segment is
+    seen earlier elsewhere come back with n_kept=0 and empty text (drop-ready).
+
+    This is the RefinedWeb/CCNet-style boilerplate killer: repeated headers,
+    navboxes and license blocks die without nuking whole documents. (The
+    corpora there segment on newlines; the synthetic table is single-line, so
+    a fixed word span stands in — the operator takes any segmentation that
+    yields (pos, segment) rows.)
+
+    Scale shape: explode → ONE hash agg keyed by segment text (min(struct(id,
+    pos)) — map-side combinable, no window over the corpus) → equi-join back
+    on (segment, id, pos) → ONE hash agg keyed by doc to reassemble.
+    array_sort on the per-doc kept list is per-row work bounded by doc size."""
+    words = F.split(normalize_text(F.col(text_col)), " ", -1)
+    n_segs = F.ceil(F.size(words) / F.lit(seg_words)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_segs - F.lit(1)),
+        lambda i: F.array_join(F.slice(words, i * seg_words + 1, seg_words), " "),
+    )
+    seg_rows = df.select(
+        F.col(id_col), F.posexplode(segs).alias("pos", "seg")
+    )
+    first = seg_rows.groupBy("seg").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_first")
+    )
+    kept = (
+        seg_rows.join(first, "seg")
+        .filter(
+            (F.col(id_col) == F.col(f"_first.{id_col}"))
+            & (F.col("pos") == F.col("_first.pos"))
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                    lambda s: s["seg"],
+                ),
+                " ",
+            ).alias("text_clean"),
+        )
+    )
+    base = df.select(F.col(id_col), n_segs.alias("n_segs"))
+    return (
+        base.join(kept, id_col, "left")
+        .select(
+            id_col,
+            "n_segs",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # streaming dedup
 # ---------------------------------------------------------------------------

@@ -27,6 +27,52 @@ def hash_bucket(col: Column, buckets: int = 10_000) -> Column:
     )
 
 
+def mixture_weights(
+    df: DataFrame, strata_col: str = "source", alpha: float = 0.5
+) -> DataFrame:
+    """Temperature-scaled domain mixture (the standard training-mix recipe:
+    target share q_s ∝ p_s^α — α<1 upweights scarce high-quality domains,
+    α=1 keeps natural proportions). Returns one row per stratum:
+
+      (stratum, n_docs, p, q, sample_rate)
+
+    where ``sample_rate`` = (q_s/p_s) / max_s(q_s/p_s) is the per-domain
+    keep-fraction that realizes the target mix by downsampling only (the
+    scarcest domain keeps rate 1.0) — feed it straight into
+    ``stratified_sample``.
+
+    Scale shape: ONE map-side-combined count agg keyed by stratum; everything
+    after runs on the S-row aggregate (S = #domains, single digits), joined
+    via a broadcast-sized cross of two scalar rows. No window over the corpus,
+    no Python."""
+    counts = df.groupBy(F.col(strata_col).alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    # q ∝ p^α ∝ n^α (same normalizer), computed as exp(α·ln n) — the identical
+    # IEEE sequence is replayable in DuckDB (exp(alpha*ln(n))), whereas pow()
+    # implementations differ across libms.
+    powed = counts.withColumn(
+        "_w", F.exp(F.lit(alpha) * F.log(F.col("n_docs").cast("double")))
+    )
+    tots = powed.agg(
+        F.sum("n_docs").alias("_tot"), F.sum("_w").alias("_wtot")
+    )
+    per = powed.crossJoin(F.broadcast(tots)).select(
+        "stratum",
+        "n_docs",
+        (F.col("n_docs") / F.col("_tot")).alias("_p"),
+        (F.col("_w") / F.col("_wtot")).alias("_q"),
+    )
+    ratio_max = per.agg(F.max(F.col("_q") / F.col("_p")).alias("_rmax"))
+    return per.crossJoin(F.broadcast(ratio_max)).select(
+        "stratum",
+        "n_docs",
+        F.round("_p", 6).alias("p"),
+        F.round("_q", 6).alias("q"),
+        F.round((F.col("_q") / F.col("_p")) / F.col("_rmax"), 6).alias("sample_rate"),
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     key_col: str,

@@ -155,6 +155,74 @@ def pii_redact(
     return df.withColumn(out, red)
 
 
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+) -> DataFrame:
+    """Gopher-style per-document repetition features over word ``n``-grams:
+
+    * ``n_grams``       — total n-gram occurrences in the doc
+    * ``dup_gram_frac`` — fraction of occurrences beyond each gram's first
+                          (0 = all distinct, →1 = one gram repeated)
+    * ``top_gram_frac`` — occurrence share of the single most frequent gram
+
+    Rain-making repetition (boilerplate, keyword stuffing, decoding loops) is
+    the cheapest high-signal quality cut on web-scale corpora (Gopher §A1.1
+    uses thresholds over exactly these shapes).
+
+    Scale shape: explode n-grams → ONE hash agg keyed (doc, gram) with
+    map-side combine (each partition collapses its repeats before the
+    shuffle) → ONE hash agg keyed doc. Both shuffles are keyed and
+    combine-friendly; nothing is corpus-global, no window, no Python."""
+    from loongcollector_spark.operators.dedup import normalize_text
+
+    # every occurrence (NOT dedup.word_ngrams, which is array_distinct'd):
+    # zip_with over shifted slices = one linear pass per extra word of n
+    words = F.split(normalize_text(F.col(text_col)), " ", -1)
+    cnt = F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))
+    gram_arr = F.slice(words, 1, cnt)
+    for k in range(2, n + 1):
+        gram_arr = F.zip_with(
+            gram_arr, F.slice(words, k, cnt), lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    grams = df.select(F.col(id_col), F.explode(gram_arr).alias("gram"))
+    per_gram = grams.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        per_gram.groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("n_grams"),
+            (F.sum("cnt") - F.count(F.lit(1))).alias("_n_dup"),
+            F.max("cnt").alias("_top_cnt"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            F.round(F.col("_n_dup") / F.col("n_grams"), 6).alias("dup_gram_frac"),
+            F.round(F.col("_top_cnt") / F.col("n_grams"), 6).alias("top_gram_frac"),
+        )
+    )
+
+
+def repetition_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    max_dup_frac: float = 0.5,
+    max_top_frac: float = 0.12,
+) -> DataFrame:
+    """Keep documents whose n-gram repetition is below the thresholds
+    (Gopher-style quality cut); broadcast-free — the stats join back to the
+    corpus on the id key."""
+    stats = repetition_stats(df, text_col, id_col, n)
+    ok = stats.filter(
+        (F.col("dup_gram_frac") <= max_dup_frac) & (F.col("top_gram_frac") <= max_top_frac)
+    ).select(id_col, "dup_gram_frac", "top_gram_frac")
+    return df.join(ok, id_col)
+
+
 def fingerprint(
     df: DataFrame, text_col: str = "text", out: str = "fp_md5", out_int: str = "fp64"
 ) -> DataFrame:

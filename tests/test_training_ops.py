@@ -492,3 +492,130 @@ def test_vocab_topk(docs):
     assert top["word"] == "the" and top["cnt"] == 6 and top["df_cnt"] == 3
     # ranks ordered by cnt desc then word asc
     assert all(out[i]["cnt"] >= out[i + 1]["cnt"] for i in range(len(out) - 1))
+
+
+# ---------------------------------------------------------------------------
+# round-3 training-pipeline ops: decontamination, packing, PII, repetition,
+# mixture reweighting, segment dedup
+# ---------------------------------------------------------------------------
+
+def test_ngram_contamination(spark):
+    from loongcollector_spark.operators.decontam import decontaminate, ngram_contamination
+
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "one two three four five six seven"),
+            (3, "alpha beta gamma delta unrelated tail words"),
+        ],
+        "doc_id int, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "prefix alpha beta gamma delta suffix")], "doc_id int, text string"
+    )
+    hits = {r["doc_id"]: r for r in ngram_contamination(train, bench, n=4).collect()}
+    # docs 1 and 3 share the 4-gram "alpha beta gamma delta" with bench doc 100
+    assert set(hits) == {1, 3}
+    assert hits[1]["hit_grams"] == 1 and hits[1]["bench_docs"] == 1
+    clean = sorted(r["doc_id"] for r in decontaminate(train, bench, n=4).collect())
+    assert clean == [2]
+
+
+def test_pack_chunks_boundaries(spark):
+    from loongcollector_spark.operators.packing import pack_chunks
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 300),   # offsets 0-299    -> chunk 0
+            (2, "a", 300),   # offsets 300-599  -> chunks 0-1 (spans boundary)
+            (3, "a", 0),     # empty doc: occupies its start chunk (600 -> 1)
+            (4, "a", 424),   # offsets 600-1023 -> chunks 1-1 (ends exactly at 1024)
+            (5, "a", 1),     # offset 1024      -> chunk 2 (exact boundary start)
+            (6, "b", 513),   # separate shard: offsets 0-512 -> chunks 0-1
+        ],
+        "doc_id int, source string, n_tok int",
+    )
+    out = {r["doc_id"]: r for r in pack_chunks(df, ctx_len=512).collect()}
+    assert (out[1]["chunk_first"], out[1]["chunk_last"], out[1]["n_chunks"]) == (0, 0, 1)
+    assert (out[2]["chunk_first"], out[2]["chunk_last"], out[2]["n_chunks"]) == (0, 1, 2)
+    assert (out[3]["start_off"], out[3]["chunk_first"], out[3]["chunk_last"]) == (600, 1, 1)
+    assert (out[4]["start_off"], out[4]["chunk_last"]) == (600, 1)
+    assert (out[5]["start_off"], out[5]["chunk_first"]) == (1024, 2)
+    assert (out[6]["shard"], out[6]["chunk_first"], out[6]["chunk_last"]) == ("b", 0, 1)
+
+
+def test_pii_redact(spark):
+    from loongcollector_spark.operators.text import pii_redact
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@example.co.uk from 192.168.001.7 call +1 555 123 4567 done"),
+            (2, "no pii here at all"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in pii_redact(df).collect()}
+    assert (out[1]["n_email"], out[1]["n_ipv4"], out[1]["n_phone"]) == (1, 1, 1)
+    assert out[1]["text_redacted"] == "mail <EMAIL> from <IP> call <PHONE> done"
+    assert (out[2]["n_email"], out[2]["n_ipv4"], out[2]["n_phone"]) == (0, 0, 0)
+    assert out[2]["text_redacted"] == "no pii here at all"
+
+
+def test_repetition_stats_and_filter(spark):
+    from loongcollector_spark.operators.text import repetition_filter, repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a"),                 # 2-grams: ab ba ab ba -> dup 0.5, top 0.5
+            (2, "u v w x y z"),               # all distinct -> dup 0, top 0.2
+            (3, "spam spam spam spam spam"),  # one gram x4 -> dup 0.75, top 1.0
+        ],
+        "doc_id int, text string",
+    )
+    st = {r["doc_id"]: r for r in repetition_stats(df, n=2).collect()}
+    assert st[1]["n_grams"] == 4 and st[1]["dup_gram_frac"] == 0.5 and st[1]["top_gram_frac"] == 0.5
+    assert st[2]["dup_gram_frac"] == 0.0 and st[2]["top_gram_frac"] == 0.2
+    assert st[3]["dup_gram_frac"] == 0.75 and st[3]["top_gram_frac"] == 1.0
+    kept = sorted(
+        r["doc_id"]
+        for r in repetition_filter(df, n=2, max_dup_frac=0.5, max_top_frac=0.5).collect()
+    )
+    assert kept == [1, 2]
+
+
+def test_mixture_weights(spark):
+    from loongcollector_spark.operators.sampling import mixture_weights
+
+    rows = [(i, "big") for i in range(9)] + [(100, "small")]
+    df = spark.createDataFrame(rows, "doc_id int, source string")
+    out = {r["stratum"]: r for r in mixture_weights(df, "source", alpha=0.5).collect()}
+    # p = .9/.1; w = 3/1; q = .75/.25; ratio q/p = .8333/2.5 -> rates .3333/1.0
+    assert out["big"]["n_docs"] == 9 and out["small"]["n_docs"] == 1
+    assert abs(out["big"]["p"] - 0.9) < 1e-9 and abs(out["big"]["q"] - 0.75) < 1e-6
+    assert out["small"]["sample_rate"] == 1.0
+    assert abs(out["big"]["sample_rate"] - 0.333333) < 1e-6
+    # alpha=1 keeps natural proportions: every rate is 1.0
+    nat = mixture_weights(df, "source", alpha=1.0).collect()
+    assert all(r["sample_rate"] == 1.0 for r in nat)
+
+
+def test_segment_dedup(spark):
+    from loongcollector_spark.operators.dedup import segment_dedup
+
+    seg_a = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    seg_b = "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10"
+    seg_c = "y1 y2 y3 y4 y5 y6 y7 y8 y9 y10"
+    df = spark.createDataFrame(
+        [
+            (1, f"{seg_a} {seg_b}"),      # both segments first occurrence
+            (2, f"{seg_a} {seg_c}"),      # seg_a dies (doc 1 pos 0 wins), seg_c survives
+            (3, seg_b),                   # fully duplicated -> empty
+            (4, "short tail"),            # sub-span segment, unique
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in segment_dedup(df, seg_words=10).collect()}
+    assert (out[1]["n_segs"], out[1]["n_kept"], out[1]["text_clean"]) == (2, 2, f"{seg_a} {seg_b}")
+    assert (out[2]["n_segs"], out[2]["n_kept"], out[2]["text_clean"]) == (2, 1, seg_c)
+    assert (out[3]["n_segs"], out[3]["n_kept"], out[3]["text_clean"]) == (1, 0, "")
+    assert (out[4]["n_segs"], out[4]["n_kept"], out[4]["text_clean"]) == (1, 1, "short tail")
