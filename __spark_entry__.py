@@ -807,6 +807,42 @@ def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return segment_dedup(_t(spark, sf_dir, "documents"), seg_words=10)
 
 
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram LM quality score (CCNet-style perplexity proxy): per-doc
+    mean negative log-prob under an add-one-smoothed unigram LM fit on the
+    corpus — vocabulary agg broadcasts at scale, no window."""
+    from loongcollector_spark.operators.text import unigram_logprob
+
+    return unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document; ranking on the 6-digit-rounded score
+    with term-asc tiebreak so Spark and DuckDB order identically."""
+    from loongcollector_spark.operators.text import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
+def q_length_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-band outlier cut: keep documents whose n_chars is inside the
+    exact [P5, P95] band — thresholds from ONE 1-row aggregate, filter rides
+    the scan."""
+    from loongcollector_spark.operators.sampling import percentile_band_filter
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return percentile_band_filter(d, "n_chars", 0.05, 0.95)
+
+
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization audit: (dim, scale, integer
+    q_sum/q_min/q_max) — the quantized aggregates are exact integers, so the
+    oracle check has no float-sum ordering hazard."""
+    from loongcollector_spark.operators.ann import quantize_int8
+
+    return quantize_int8(_t(spark, sf_dir, "embeddings"))
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup on a normalized key (prefix) — representative = min(doc_id)."""
     d = _t(spark, sf_dir, "documents")
@@ -1251,6 +1287,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "mixture_reweight": q_mixture_reweight,
         "segment_dedup": q_segment_dedup,
+        "unigram_logprob": q_unigram_logprob,
+        "tfidf_topk": q_tfidf_topk,
+        "length_band": q_length_band,
+        "embed_quantize": q_embed_quantize,
         # --- last green in r01 (rotated out of the r02 window) ---
         "dedup_exact_norm": q_dedup_exact_norm,
         "charset_jaccard": q_charset_jaccard,
@@ -1524,6 +1564,67 @@ def oracle_sql() -> dict[str, str]:
             select n.doc_id, n.n_segs, coalesce(k.n_kept, 0) as n_kept,
                    coalesce(k.text_clean, '') as text_clean
             from n left join k on n.doc_id = k.doc_id
+        """,
+        "unigram_logprob": r"""
+            with w as (select doc_id,
+                              unnest(string_split(trim(regexp_replace(lower(text),
+                                  '\s+', ' ', 'g')), ' ')) as word
+                       from documents),
+            per as (select doc_id, word, count(*) as tf from w
+                    where word <> '' group by doc_id, word),
+            lm as (select word, sum(tf) as cnt from per group by word),
+            tot as (select sum(cnt) as tot, count(*) as vocab from lm),
+            lp as (select word,
+                          ln(cast(cnt + 1 as double)
+                             / cast(tot + vocab as double)) as lp
+                   from lm, tot)
+            select per.doc_id, cast(sum(per.tf) as bigint) as n_words,
+                   round(-sum(per.tf * lp.lp) / sum(per.tf), 6) as avg_nll
+            from per join lp using (word)
+            group by per.doc_id
+        """,
+        "tfidf_topk": r"""
+            with w as (select doc_id,
+                              unnest(string_split(trim(regexp_replace(lower(text),
+                                  '\s+', ' ', 'g')), ' ')) as term
+                       from documents),
+            per as (select doc_id, term, count(*) as tf from w
+                    where term <> '' group by doc_id, term),
+            dfreq as (select term, count(*) as df_cnt from per group by term),
+            nd as (select count(distinct doc_id) as n from documents),
+            scored as (select per.doc_id, per.term,
+                              round(per.tf * ln(cast(n as double) / df_cnt), 6)
+                                  as score
+                       from per join dfreq using (term), nd),
+            r as (select doc_id, term, score,
+                         row_number() over (partition by doc_id
+                                            order by score desc, term) as rk
+                  from scored)
+            select doc_id, term, score, rk from r where rk <= 3
+        """,
+        "length_band": """
+            with thr as (select quantile_cont(cast(n_chars as double), 0.05) as lo,
+                                quantile_cont(cast(n_chars as double), 0.95) as hi
+                         from documents)
+            select doc_id, n_chars from documents, thr
+            where cast(n_chars as double) >= lo and cast(n_chars as double) <= hi
+        """,
+        "embed_quantize": """
+            with v as (select vec_id, len(embedding) as dim,
+                              greatest(list_max(list_transform(embedding,
+                                  x -> abs(cast(x as double)))), 1e-12) as m,
+                              embedding
+                       from embeddings),
+            q as (select vec_id, dim, m,
+                         list_transform(embedding,
+                             x -> cast(floor(cast(x as double) * 127.0 / m + 0.5)
+                                       as bigint)) as qv
+                  from v)
+            select vec_id, dim, round(m / 127.0, 6) as scale6,
+                   cast(list_sum(qv) as bigint) as q_sum,
+                   cast(list_min(qv) as bigint) as q_min,
+                   cast(list_max(qv) as bigint) as q_max
+            from q
         """,
         "ngram_jaccard": f"""
             with w as (select doc_id, string_split({norm}, ' ') as ws from documents),

@@ -29,6 +29,37 @@ from pyspark.sql.window import Window
 from .dedup import cosine
 
 
+def quantize_int8(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization (the standard ANN-index /
+    embedding-store compression): scale = max|x| / 127,
+    q_i = floor(x_i · 127 / max|x| + 0.5) ∈ [-127, 127].
+
+    Output is audit-shaped: (id, dim, scale6, q_sum, q_min, q_max) — q_* are
+    INTEGER aggregates of the quantized vector, so the oracle comparison is
+    exact (no float-sum ordering hazard), while scale6 pins the float path.
+    ``floor(x + 0.5)`` is used instead of round() because Spark (HALF_UP) and
+    DuckDB (half-away-from-zero) disagree on negative .5 boundaries; floor is
+    IEEE-identical in both.
+
+    Scale shape: pure per-row array projection (transform/aggregate lambdas,
+    whole-stage codegen) — rides the scan, no shuffle, no Python."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    m = F.greatest(F.array_max(F.transform(v, F.abs)), F.lit(1e-12))
+    q = F.transform(v, lambda x: F.floor(x * F.lit(127.0) / m + F.lit(0.5)).cast("long"))
+    return df.select(
+        F.col(id_col),
+        F.size(F.col(vec_col)).alias("dim"),
+        F.round(m / F.lit(127.0), 6).alias("scale6"),
+        F.aggregate(q, F.lit(0).cast("long"), lambda acc, x: acc + x).alias("q_sum"),
+        F.array_min(q).alias("q_min"),
+        F.array_max(q).alias("q_max"),
+    )
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: DataFrame,

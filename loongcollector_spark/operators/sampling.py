@@ -73,6 +73,38 @@ def mixture_weights(
     )
 
 
+def percentile_band_filter(
+    df: DataFrame,
+    value_col: str,
+    lo_p: float = 0.05,
+    hi_p: float = 0.95,
+    exact: bool = True,
+) -> DataFrame:
+    """Keep rows whose ``value_col`` lies inside the [lo_p, hi_p] percentile
+    band — the standard outlier-length cut (too-short fragments, too-long
+    concatenation junk) in corpus curation.
+
+    ``exact=True`` uses Spark's exact ``percentile`` (linear interpolation,
+    the same definition as DuckDB's quantile_cont, so the oracle replays the
+    thresholds bit-for-bit). Exact percentile aggregates per-value counts —
+    fine for bounded-cardinality columns like lengths; for unbounded doubles
+    at 100 TB pass ``exact=False`` for ``approx_percentile`` (t-digest sketch,
+    constant memory; not oracle-comparable and so not used by the gate query).
+
+    Scale shape: ONE aggregate produces both thresholds (a 1-row result,
+    broadcast cross-joined back), then the band check is a scan-side filter."""
+    fn = F.percentile if exact else (lambda c, p: F.approx_percentile(c, p, 10_000))
+    v = F.col(value_col).cast("double")
+    thr = df.agg(
+        fn(v, F.lit(lo_p)).alias("_lo"), fn(v, F.lit(hi_p)).alias("_hi")
+    )
+    return (
+        df.crossJoin(F.broadcast(thr))
+        .filter((v >= F.col("_lo")) & (v <= F.col("_hi")))
+        .drop("_lo", "_hi")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     key_col: str,

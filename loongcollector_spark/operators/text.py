@@ -223,6 +223,90 @@ def repetition_filter(
     return df.join(ok, id_col)
 
 
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-unigram language-model quality score: per document, the mean
+    negative log-probability (nats) of its words under an add-one-smoothed
+    unigram LM fit on the corpus itself — the classic cheap perplexity proxy
+    (CCNet-style filtering uses exactly this shape with a pretrained LM;
+    fitting on the corpus keeps it self-contained and oracle-replayable).
+    Rows: (doc_id, n_words, avg_nll) — high avg_nll = rare-word soup.
+
+    Scale shape: explode words → ONE map-side-combined hash agg keyed
+    (doc, word) → ONE hash agg keyed word for the LM (vocabulary-sized, ~1e6
+    rows at web scale → broadcast) → broadcast join back → ONE hash agg keyed
+    doc. The corpus totals are a 1-row aggregate cross-joined in. No window,
+    no Python."""
+    words = df.select(
+        F.col(id_col), F.explode(_words(F.col(text_col))).alias("word")
+    ).filter(F.col("word") != "")
+    per = words.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("tf"))
+    lm = per.groupBy("word").agg(F.sum("tf").alias("cnt"))
+    tot = lm.agg(
+        F.sum("cnt").alias("_tot"), F.count(F.lit(1)).alias("_vocab")
+    )
+    # p(w) = (cnt+1) / (total+V); identical IEEE sequence in the DuckDB oracle
+    lmp = F.broadcast(
+        lm.crossJoin(F.broadcast(tot)).select(
+            "word",
+            F.log(
+                (F.col("cnt") + F.lit(1)).cast("double")
+                / (F.col("_tot") + F.col("_vocab")).cast("double")
+            ).alias("_lp"),
+        )
+    )
+    return (
+        per.join(lmp, "word")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("n_words"),
+            F.round(-F.sum(F.col("tf") * F.col("_lp")) / F.sum("tf"), 6).alias("avg_nll"),
+        )
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document (the classic keyword extractor):
+    score = tf(doc, w) · ln(N / df(w)). Rows: (doc_id, term, score, rk).
+    Ordering decisions happen on the 6-digit-rounded score with the term
+    itself as the tiebreak, so Spark and the oracle rank identically.
+
+    Scale shape: explode → hash agg (doc, word) with map-side combine → the
+    document-frequency table is vocabulary-sized (broadcast) → broadcast join
+    → per-doc row_number window whose partitions are single documents (each a
+    few hundred distinct terms), never corpus-wide."""
+    words = df.select(
+        F.col(id_col), F.explode(_words(F.col(text_col))).alias("term")
+    ).filter(F.col("term") != "")
+    per = words.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = per.groupBy("term").agg(F.count(F.lit(1)).alias("df_cnt"))
+    n_docs = df.agg(F.countDistinct(id_col).alias("_n"))
+    scored = (
+        per.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf") * F.log(F.col("_n").cast("double") / F.col("df_cnt")), 6
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(id_col, "term", "score", "rk")
+    )
+
+
 def fingerprint(
     df: DataFrame, text_col: str = "text", out: str = "fp_md5", out_int: str = "fp64"
 ) -> DataFrame:

@@ -619,3 +619,70 @@ def test_segment_dedup(spark):
     assert (out[2]["n_segs"], out[2]["n_kept"], out[2]["text_clean"]) == (2, 1, seg_c)
     assert (out[3]["n_segs"], out[3]["n_kept"], out[3]["text_clean"]) == (1, 0, "")
     assert (out[4]["n_segs"], out[4]["n_kept"], out[4]["text_clean"]) == (1, 1, "short tail")
+
+
+def test_unigram_logprob(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id int, text string"
+    )
+    out = {r["doc_id"]: r for r in X.unigram_logprob(df).collect()}
+    # corpus counts: a=2, b=2, c=1; total=5, vocab=3 -> p(a)=3/8, p(b)=3/8, p(c)=2/8
+    lp_a = math.log(3 / 8)
+    lp_c = math.log(2 / 8)
+    assert out[1]["n_words"] == 3
+    assert abs(out[1]["avg_nll"] - round(-(2 * lp_a + lp_a) / 3, 6)) < 1e-6
+    assert out[2]["n_words"] == 2
+    assert abs(out[2]["avg_nll"] - round(-(lp_a + lp_c) / 2, 6)) < 1e-6
+
+
+def test_tfidf_top_terms(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple banana shared"),
+            (2, "cherry shared shared"),
+            (3, "banana cherry shared"),
+        ],
+        "doc_id int, text string",
+    )
+    out = X.tfidf_top_terms(df, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["rk"], r["term"], r["score"]))
+    # doc 1: apple tf=2 df=1 -> 2*ln3 (top); shared tf=1 df=3 -> score 0
+    top1 = sorted(by_doc[1])[0]
+    assert top1[1] == "apple" and abs(top1[2] - round(2 * 1.0986122886681098, 6)) < 1e-6
+    # ties on score break by term asc: doc 3 banana/cherry both tf=1 df=2
+    d3 = [t for _, t, _ in sorted(by_doc[3])]
+    assert d3 == ["banana", "cherry"]
+    assert all(len(v) <= 2 for v in by_doc.values())
+
+
+def test_percentile_band_filter(spark):
+    from loongcollector_spark.operators.sampling import percentile_band_filter
+
+    df = spark.createDataFrame([(i, i) for i in range(1, 101)], "id int, v int")
+    kept = sorted(r["id"] for r in percentile_band_filter(df, "v", 0.05, 0.95).collect())
+    # P5 of 1..100 = 5.95, P95 = 95.05 (linear interpolation) -> keep 6..95
+    assert kept == list(range(6, 96))
+    # exact=False path still runs (approx sketch), keeps a similar band
+    approx = percentile_band_filter(df, "v", 0.05, 0.95, exact=False).count()
+    assert 85 <= approx <= 95
+
+
+def test_quantize_int8(spark):
+    from loongcollector_spark.operators.ann import quantize_int8
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -2.0, 0.5]), (2, [0.0, 0.0]), (3, [-4.0])],
+        "vec_id int, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in quantize_int8(df).collect()}
+    # vec 1: m=2 -> q = floor([63.5, -127, 31.75] + .5) = [64, -127, 32]
+    assert (out[1]["dim"], out[1]["q_sum"], out[1]["q_min"], out[1]["q_max"]) == (3, -31, -127, 64)
+    assert abs(out[1]["scale6"] - round(2.0 / 127, 6)) < 1e-9
+    # all-zero vector: epsilon guard, q all zero
+    assert (out[2]["q_sum"], out[2]["q_min"], out[2]["q_max"]) == (0, 0, 0)
+    # single negative: q = floor(-127 + .5) = -127
+    assert out[3]["q_sum"] == -127
