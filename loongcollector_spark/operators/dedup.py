@@ -568,14 +568,19 @@ def embedding_dup_pairs_exact(
 
     For corpora where O(N²) flops is unaffordable, use
     ``embedding_dup_pairs_lsh`` (approximate, truly sub-quadratic).
-    ``n_chunks=None`` sizes chunks to ``target_chunk`` rows with one scalar
-    ``count()`` (driver-side scalar, same pattern as media_repartition)."""
+    ``n_chunks=None`` sizes chunks to ``target_chunk`` rows from a
+    COLUMN-PRUNED count (count(*) over a parquet scan reads footer row-group
+    counts, not data pages — cheap, but still a job over every split; at
+    10^9+ vectors pass ``n_chunks`` explicitly from catalog stats and skip
+    the extra stage entirely)."""
     import math
 
     import pandas as pd  # noqa: F811
 
     if n_chunks is None:
-        n_chunks = max(1, math.ceil(df.count() / target_chunk))
+        # select(lit(1)) guarantees the scan is column-pruned to zero data
+        # columns whatever projections sit on df
+        n_chunks = max(1, math.ceil(df.select(F.lit(1)).count() / target_chunk))
     id_type = dict(df.dtypes)[id_col]
     v = df.select(
         F.col(id_col).alias("id"),

@@ -686,3 +686,56 @@ def test_quantize_int8(spark):
     assert (out[2]["q_sum"], out[2]["q_min"], out[2]["q_max"]) == (0, 0, 0)
     # single negative: q = floor(-127 + .5) = -127
     assert out[3]["q_sum"] == -127
+
+
+def test_wav_sample_decode_real():
+    """REAL WAV PCM decode (stdlib struct): exact sample values come back for
+    16-bit/8-bit/float32 PCM incl. stereo mono-mix; compressed/non-WAV
+    payloads fall back to the labeled deterministic fake."""
+    import io
+    import struct as st
+    import wave
+
+    import numpy as np
+
+    def wav16(frames: bytes, n_ch: int = 1, sr: int = 8000) -> bytes:
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(n_ch)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            w.writeframes(frames)
+        return buf.getvalue()
+
+    # mono 16-bit: exact values
+    vals = [0, 16384, -16384, 32767, -32768]
+    got = M._decode_wav(wav16(st.pack("<5h", *vals)))
+    assert np.allclose(got, np.array(vals, np.float32) / 32768.0)
+
+    # stereo 16-bit: mono mix = channel mean
+    st_frames = st.pack("<4h", 1000, 3000, -2000, -4000)
+    got = M._decode_wav(wav16(st_frames, n_ch=2))
+    assert np.allclose(got, np.array([2000, -3000], np.float32) / 32768.0)
+
+    # 8-bit unsigned PCM via hand-built RIFF (wave module writes 8-bit too,
+    # but build it raw to pin the chunk walk)
+    def riff(fmt_tag, n_ch, sr, bits, data):
+        bps = sr * n_ch * bits // 8
+        fmt = st.pack("<HHIIHH", fmt_tag, n_ch, sr, bps, n_ch * bits // 8, bits)
+        body = b"fmt " + st.pack("<I", len(fmt)) + fmt + b"data" + st.pack("<I", len(data)) + data
+        return b"RIFF" + st.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    got = M._decode_wav(riff(1, 1, 8000, 8, bytes([128, 255, 0])))
+    assert np.allclose(got, [(128 - 128) / 128, (255 - 128) / 128, (0 - 128) / 128])
+
+    # float32 PCM (tag 3)
+    got = M._decode_wav(riff(3, 1, 8000, 32, st.pack("<3f", 0.5, -0.25, 1.0)))
+    assert np.allclose(got, [0.5, -0.25, 1.0])
+
+    # compressed tag (ADPCM=2) and non-WAV: None -> stub path returns the fake
+    assert M._decode_wav(riff(2, 1, 8000, 4, b"\x00\x01")) is None
+    fake = M._decode_audio_stub(b"not a wav at all")
+    assert fake.dtype == np.float32 and fake.shape == (160,)
+    # the stub dispatcher uses the REAL decode for WAV payloads
+    real = M._decode_audio_stub(wav16(st.pack("<2h", 100, -100)))
+    assert np.allclose(real, np.array([100, -100], np.float32) / 32768.0)
