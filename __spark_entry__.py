@@ -843,6 +843,32 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantize_int8(_t(spark, sf_dir, "embeddings"))
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus-curation composite — the 'switch your pipeline to
+    this engine' demo, four library stages chained and oracle-replayed as one:
+
+      quality_score ≥ 0.62  →  2-gram dup_gram_frac ≤ 0.05 (Gopher cut)
+      →  exact dedup on a 20-char prefix key (keep min doc_id)
+      →  deterministic stratified sample (en 80%, others 50%)
+
+    Every stage is the SAME library operator the standalone queries check;
+    the oracle chains their SQL twins. Scale shape: two doc-keyed hash-agg
+    joins + one tiny groupBy(key) join + a scan-side hash filter — no window,
+    no Python."""
+    from loongcollector_spark.operators.sampling import stratified_sample
+    from loongcollector_spark.operators.text import quality_score, repetition_stats
+
+    d = _t(spark, sf_dir, "documents")
+    scored = quality_score(d).filter(F.col("quality") >= 0.62)
+    rep = repetition_stats(d, n=2).select("doc_id", "dup_gram_frac")
+    kept = scored.join(rep, "doc_id").filter(F.col("dup_gram_frac") <= 0.05)
+    kept = kept.withColumn("k", F.substring(F.col("text"), 1, 20))
+    reps = kept.groupBy("k").agg(F.min("doc_id").alias("rep_id"))
+    deduped = kept.join(reps, "k").filter(F.col("doc_id") == F.col("rep_id"))
+    sampled = stratified_sample(deduped, "doc_id", "lang", {"en": 0.8}, default_rate=0.5)
+    return sampled.select("doc_id", "lang", "source", "quality", "dup_gram_frac")
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup on a normalized key (prefix) — representative = min(doc_id)."""
     d = _t(spark, sf_dir, "documents")
@@ -1291,6 +1317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": q_tfidf_topk,
         "length_band": q_length_band,
         "embed_quantize": q_embed_quantize,
+        "curation_pipeline": q_curation_pipeline,
         # --- last green in r01 (rotated out of the r02 window) ---
         "dedup_exact_norm": q_dedup_exact_norm,
         "charset_jaccard": q_charset_jaccard,
@@ -1564,6 +1591,50 @@ def oracle_sql() -> dict[str, str]:
             select n.doc_id, n.n_segs, coalesce(k.n_kept, 0) as n_kept,
                    coalesce(k.text_clean, '') as text_clean
             from n left join k on n.doc_id = k.doc_id
+        """,
+        "curation_pipeline": r"""
+            with ft as (
+              select doc_id, lang, source, text,
+                     cast(len(string_split_regex(trim(lower(text)), '\s+')) as int) as n_words,
+                     round((length(text) - (len(string_split_regex(trim(lower(text)), '\s+')) - 1)) * 1.0
+                           / greatest(len(string_split_regex(trim(lower(text)), '\s+')), 1), 6) as mean_word_len,
+                     round(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) * 1.0
+                           / greatest(length(text), 1), 6) as punct_ratio,
+                     round(len(list_filter(string_split_regex(trim(lower(text)), '\s+'), w -> list_contains(['the', 'and', 'of', 'to', 'in', 'is', 'that', 'for', 'with', 'was'], w))) * 1.0
+                           / greatest(len(string_split_regex(trim(lower(text)), '\s+')), 1), 6) as stopword_ratio
+              from documents),
+            scored as (
+              select doc_id, lang, source, text,
+                     round(least(
+                       0.4 * stopword_ratio * 2.5
+                       + 0.3 * (case when n_words >= 5 and mean_word_len >= 2 and mean_word_len <= 12
+                                then 1.0 else 0.0 end)
+                       + 0.3 * (1.0 - least(punct_ratio * 4, 1.0)), 1.0), 6) as quality
+              from ft where round(least(
+                       0.4 * stopword_ratio * 2.5
+                       + 0.3 * (case when n_words >= 5 and mean_word_len >= 2 and mean_word_len <= 12
+                                then 1.0 else 0.0 end)
+                       + 0.3 * (1.0 - least(punct_ratio * 4, 1.0)), 1.0), 6) >= 0.62),
+            w as (select doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') as ws from documents),
+            g as (select doc_id,
+                         unnest(list_transform(range(1, greatest(len(ws) - 1, 0) + 1),
+                                i -> ws[i] || ' ' || ws[i+1])) as gram
+                  from w),
+            pg as (select doc_id, gram, count(*) as cnt from g group by doc_id, gram),
+            rep as (select doc_id,
+                           round((sum(cnt) - count(*)) * 1.0 / sum(cnt), 6) as dup_gram_frac
+                    from pg group by doc_id),
+            kept as (select s.doc_id, s.lang, s.source, s.quality, rep.dup_gram_frac,
+                            substr(s.text, 1, 20) as k
+                     from scored s join rep using (doc_id)
+                     where rep.dup_gram_frac <= 0.05),
+            reps as (select k, min(doc_id) as rep_id from kept group by k),
+            deduped as (select kept.* from kept join reps using (k)
+                        where kept.doc_id = reps.rep_id)
+            select doc_id, lang, source, quality, dup_gram_frac
+            from deduped
+            where ('0x' || substr(md5(cast(doc_id as varchar)), 1, 8))::bigint % 10000
+                  < (case when lang = 'en' then 8000 else 5000 end)
         """,
         "unigram_logprob": r"""
             with w as (select doc_id,
