@@ -102,3 +102,42 @@ def test_flagship_single_scan_and_no_python_in_parse(spark, seq_path):
     plan = _plan(routed)
     assert "BatchEvalPython" not in plan  # row-at-a-time Python = banned
     assert plan.count("Scan parquet") == 1  # one pass over the input
+
+
+def test_tfidf_and_unigram_broadcast_no_smj(spark, docs_path):
+    """The vocabulary-sized df/LM tables must join back by BROADCAST (at web
+    scale the corpus side must not shuffle for a vocab lookup), and the only
+    window allowed in tfidf is the per-doc rank (never corpus-global)."""
+    from loongcollector_spark.operators.text import tfidf_top_terms, unigram_logprob
+
+    d = spark.read.parquet(docs_path)
+    plan = _plan(tfidf_top_terms(d, k=3))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    plan = _plan(unigram_logprob(d))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan  # pure hash aggs + broadcast join
+
+
+def test_quantize_int8_rides_the_scan(spark):
+    """int8 quantization must be a pure projection: no shuffle, no Python."""
+    from loongcollector_spark.operators.ann import quantize_int8
+
+    df = spark.range(100).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.rand(seed=1), F.rand(seed=2)).cast("array<float>").alias("embedding"),
+    )
+    plan = _plan(quantize_int8(df))
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_percentile_band_is_scan_side_filter(spark, docs_path):
+    """Thresholds come from one 1-row aggregate broadcast back; the band
+    check must be a broadcast join + filter, never a sort or a window."""
+    from loongcollector_spark.operators.sampling import percentile_band_filter
+
+    d = spark.read.parquet(docs_path)
+    plan = _plan(percentile_band_filter(d, "n_chars", 0.05, 0.95))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Window" not in plan and "SortMergeJoin" not in plan
