@@ -869,6 +869,23 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampled.select("doc_id", "lang", "source", "quality", "dup_gram_frac")
 
 
+def q_winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS winnowing fingerprints (3-gram hashes, window 4, rightmost-min):
+    the full distinct (doc, fp, pos) set — the oracle replays hash, packing
+    and window selection bit-for-bit."""
+    from loongcollector_spark.operators.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(_t(spark, sf_dir, "documents"), k=3, w=4)
+
+
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-overlap candidates: docs sharing ≥ 2 winnowing fingerprints
+    (boilerplate fps dropped via broadcast anti-join before the self-join)."""
+    from loongcollector_spark.operators.dedup import winnow_pairs
+
+    return winnow_pairs(_t(spark, sf_dir, "documents"), k=3, w=4, min_shared=2)
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup on a normalized key (prefix) — representative = min(doc_id)."""
     d = _t(spark, sf_dir, "documents")
@@ -1318,6 +1335,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_band": q_length_band,
         "embed_quantize": q_embed_quantize,
         "curation_pipeline": q_curation_pipeline,
+        "winnow_fps": q_winnow_fps,
+        "winnow_pairs": q_winnow_pairs,
         # --- last green in r01 (rotated out of the r02 window) ---
         "dedup_exact_norm": q_dedup_exact_norm,
         "charset_jaccard": q_charset_jaccard,
@@ -1635,6 +1654,47 @@ def oracle_sql() -> dict[str, str]:
             from deduped
             where ('0x' || substr(md5(cast(doc_id as varchar)), 1, 8))::bigint % 10000
                   < (case when lang = 'en' then 8000 else 5000 end)
+        """,
+        "winnow_fps": f"""
+            with w0 as (select doc_id, string_split({norm}, ' ') as ws from documents),
+            g as (select doc_id, i - 1 as pos,
+                         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] as gram
+                  from w0, unnest(range(1, greatest(len(ws) - 2, 0) + 1)) as t(i)),
+            keyed as (select doc_id, pos,
+                             (('0x' || substr(md5(gram), 1, 15))::bigint % 1099511627776)
+                                 * 1000000 + (999999 - pos) as key
+                      from g),
+            sel as (select doc_id, pos,
+                           min(key) over (partition by doc_id order by pos
+                                          rows between 3 preceding and current row) as skey,
+                           max(pos) over (partition by doc_id) as maxpos
+                    from keyed)
+            select distinct doc_id, skey // 1000000 as fp,
+                   999999 - (skey % 1000000) as fp_pos
+            from sel where pos >= 3 or pos = maxpos
+        """,
+        "winnow_pairs": f"""
+            with w0 as (select doc_id, string_split({norm}, ' ') as ws from documents),
+            g as (select doc_id, i - 1 as pos,
+                         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] as gram
+                  from w0, unnest(range(1, greatest(len(ws) - 2, 0) + 1)) as t(i)),
+            keyed as (select doc_id, pos,
+                             (('0x' || substr(md5(gram), 1, 15))::bigint % 1099511627776)
+                                 * 1000000 + (999999 - pos) as key
+                      from g),
+            sel as (select doc_id, pos,
+                           min(key) over (partition by doc_id order by pos
+                                          rows between 3 preceding and current row) as skey,
+                           max(pos) over (partition by doc_id) as maxpos
+                    from keyed),
+            fps as (select distinct doc_id, skey // 1000000 as fp
+                    from sel where pos >= 3 or pos = maxpos),
+            hot as (select fp from fps group by fp having count(*) > 50),
+            cold as (select * from fps where fp not in (select fp from hot))
+            select a.doc_id as id_a, b.doc_id as id_b,
+                   cast(count(*) as bigint) as n_shared
+            from cold a join cold b on a.fp = b.fp and a.doc_id < b.doc_id
+            group by 1, 2 having count(*) >= 2
         """,
         "unigram_logprob": r"""
             with w as (select doc_id,

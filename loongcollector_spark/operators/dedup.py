@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
@@ -918,6 +918,94 @@ def segment_dedup(
 # ---------------------------------------------------------------------------
 # streaming dedup
 # ---------------------------------------------------------------------------
+
+_WINNOW_POSCAP = 1_000_000  # max gram positions per doc the key packing holds
+_WINNOW_HMOD = 1 << 40  # fingerprint hash space (2^40 · 10^6 fits int64)
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """MOSS-style winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03): hash every
+    word ``k``-gram, slide a window of ``w`` consecutive hashes, keep each
+    window's minimum (rightmost on ties) — the classic position-robust LOCAL
+    fingerprint set. Guarantees a shared fingerprint for any shared run of
+    ≥ w+k-1 words, unlike fixed-offset segmenting (``segment_dedup``) which an
+    inserted word defeats, and unlike MinHash which fingerprints the whole
+    document, not regions. Rows: distinct (doc_id, fp, fp_pos).
+
+    Determinism/oracle: the md5-family hash (mod 2^40) and the tiebreak are
+    packed into ONE bigint key = h·10^6 + (10^6−1−pos), so window ``min`` —
+    identical semantics in Spark and DuckDB — selects min-hash-then-rightmost
+    with no argmin/struct comparators involved.
+
+    Scale shape: posexplode → one w-row sliding window per doc partition
+    (partitions are single documents — bounded, never corpus-wide) → distinct.
+    Docs shorter than w grams keep their global minimum (one fingerprint),
+    per the winnowing paper's boundary convention."""
+    words = F.split(normalize_text(F.col(text_col)), " ", -1)
+    cnt = F.greatest(F.size(words) - F.lit(k - 1), F.lit(0))
+    grams = F.slice(words, 1, cnt)
+    for j in range(2, k + 1):
+        grams = F.zip_with(
+            grams, F.slice(words, j, cnt), lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    g = df.select(F.col(id_col), F.posexplode(grams).alias("pos", "gram"))
+    h = _md5_long(F.col("gram")) % F.lit(_WINNOW_HMOD)
+    key = h * F.lit(_WINNOW_POSCAP) + (F.lit(_WINNOW_POSCAP - 1) - F.col("pos"))
+    win = Window.partitionBy(id_col).orderBy("pos").rowsBetween(-(w - 1), 0)
+    part = Window.partitionBy(id_col)
+    sel = g.select(
+        F.col(id_col),
+        F.col("pos"),
+        F.min(key).over(win).alias("skey"),
+        F.max("pos").over(part).alias("maxpos"),
+    ).filter((F.col("pos") >= w - 1) | (F.col("pos") == F.col("maxpos")))
+    # integer `div`, NOT `/`: skey reaches ~2^60 and a double round-trip
+    # (plain division) loses bits above 2^53
+    return sel.select(
+        F.col(id_col),
+        F.expr(f"skey div {_WINNOW_POSCAP}").alias("fp"),
+        (F.lit(_WINNOW_POSCAP - 1) - F.col("skey") % F.lit(_WINNOW_POSCAP)).alias("fp_pos"),
+    ).distinct()
+
+
+def winnow_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    max_fp_docs: int = 50,
+) -> DataFrame:
+    """Partial-overlap candidate pairs: documents sharing ≥ ``min_shared``
+    distinct winnowing fingerprints, with the shared count. The inverted
+    fingerprint index joins on fp like the n-gram index; fingerprints in more
+    than ``max_fp_docs`` documents are boilerplate and are dropped via a
+    broadcast anti-join BEFORE the self-join (the same stop-gram treatment as
+    ``ngram_jaccard_pairs`` — at web scale a viral footer fingerprint would
+    otherwise emit a quadratic bucket)."""
+    fps = winnow_fingerprints(df, text_col, id_col, k, w).select(id_col, "fp").distinct()
+    hot = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_df")).filter(
+        F.col("_df") > max_fp_docs
+    ).select("fp")
+    cold = fps.join(F.broadcast(hot), "fp", "left_anti")
+    a = cold.alias("a")
+    b = cold.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
 
 def stream_exact_dedup(
     df: "DataFrame",

@@ -739,3 +739,45 @@ def test_wav_sample_decode_real():
     # the stub dispatcher uses the REAL decode for WAV payloads
     real = M._decode_audio_stub(wav16(st.pack("<2h", 100, -100)))
     assert np.allclose(real, np.array([100, -100], np.float32) / 32768.0)
+
+
+def test_winnow_fingerprints_guarantee(spark):
+    """Winnowing guarantee: any shared word run of >= w+k-1 words yields a
+    shared fingerprint, even when the run sits at DIFFERENT offsets (the case
+    fixed-offset segment_dedup misses); short docs keep one global-min fp."""
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 words = w+k-1 (w=4,k=3)
+    df = spark.createDataFrame(
+        [
+            (1, f"one two {shared} nine ten"),
+            (2, f"{shared} completely different tail words"),  # offset shift
+            (3, "tiny doc"),                                   # < k words -> 0 grams... actually 2 words < k=3
+            (4, "just three words"),                           # exactly one gram, < w window
+        ],
+        "doc_id int, text string",
+    )
+    fps = D.winnow_fingerprints(df, k=3, w=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "shared 6-word run must share a fingerprint"
+    assert 3 not in by_doc          # 2 words -> no 3-grams -> no fingerprints
+    assert len(by_doc[4]) == 1      # single gram -> its hash is the one fp
+
+    pairs = {(r["id_a"], r["id_b"]): r["n_shared"] for r in
+             D.winnow_pairs(df, k=3, w=4, min_shared=1).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+
+
+def test_winnow_rightmost_tie_and_positions(spark):
+    """A repeated gram produces equal hashes; the packed key must select the
+    RIGHTMOST position of the tie within each window, and fp_pos must decode
+    back to a real gram position."""
+    # 'x y z' gram repeats at positions 0 and 2
+    df = spark.createDataFrame([(1, "x y z y x y z")], "doc_id int, text string")
+    rows = D.winnow_fingerprints(df, k=3, w=2).collect()
+    n_grams = 5  # 7 words -> 5 3-grams
+    assert all(0 <= r["fp_pos"] < n_grams for r in rows)
+    # window over positions (1,2): both grams 'y z y'(1)... hash ties happen
+    # only for identical grams; 'x y z' at 0 vs 4: same fp, both selectable -> 
+    # the distinct set contains at most one row per (fp, pos) pair
+    assert len(rows) == len({(r["fp"], r["fp_pos"]) for r in rows})
