@@ -886,6 +886,25 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_pairs(_t(spark, sf_dir, "documents"), k=3, w=4, min_shared=2)
 
 
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (98/1/1 by doc_id hash) — per-split
+    per-source counts; the same doc lands in the same split on every rerun."""
+    from loongcollector_spark.operators.sampling import hash_split
+
+    d = hash_split(_t(spark, sf_dir, "documents"), "doc_id")
+    return d.groupBy("split", "source").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def q_shuffle_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 100 rows of the seeded deterministic corpus permutation (loader
+    shuffle order): (rank, doc_id) — the explicit rank makes the ORDER itself
+    oracle-checkable under an order-insensitive compare."""
+    from loongcollector_spark.operators.sampling import deterministic_shuffle
+
+    d = deterministic_shuffle(_t(spark, sf_dir, "documents").select("doc_id"), "doc_id", seed=42)
+    return d.filter(F.col("shuffle_rank") <= 100).select("shuffle_rank", "doc_id")
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup on a normalized key (prefix) — representative = min(doc_id)."""
     d = _t(spark, sf_dir, "documents")
@@ -1337,6 +1356,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": q_curation_pipeline,
         "winnow_fps": q_winnow_fps,
         "winnow_pairs": q_winnow_pairs,
+        "hash_split": q_hash_split,
+        "shuffle_head": q_shuffle_head,
         # --- last green in r01 (rotated out of the r02 window) ---
         "dedup_exact_norm": q_dedup_exact_norm,
         "charset_jaccard": q_charset_jaccard,
@@ -1654,6 +1675,25 @@ def oracle_sql() -> dict[str, str]:
             from deduped
             where ('0x' || substr(md5(cast(doc_id as varchar)), 1, 8))::bigint % 10000
                   < (case when lang = 'en' then 8000 else 5000 end)
+        """,
+        "hash_split": """
+            with b as (select source,
+                              ('0x' || substr(md5(cast(doc_id as varchar)), 1, 8))::bigint
+                                  % 10000 as bkt
+                       from documents)
+            select case when bkt < 9800 then 'train'
+                        when bkt < 9900 then 'val'
+                        else 'test' end as split,
+                   source, cast(count(*) as bigint) as n_docs
+            from b group by 1, 2
+        """,
+        "shuffle_head": """
+            with r as (select doc_id,
+                              row_number() over (order by
+                                  ('0x' || substr(md5('42-' || cast(doc_id as varchar)), 1, 15))::bigint,
+                                  cast(doc_id as varchar)) as shuffle_rank
+                       from documents)
+            select shuffle_rank, doc_id from r where shuffle_rank <= 100
         """,
         "winnow_fps": f"""
             with w0 as (select doc_id, string_split({norm}, ' ') as ws from documents),

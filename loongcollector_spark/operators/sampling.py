@@ -13,7 +13,7 @@ no UDF — the filter rides the scan.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -71,6 +71,56 @@ def mixture_weights(
         F.round("_q", 6).alias("q"),
         F.round((F.col("_q") / F.col("_p")) / F.col("_rmax"), 6).alias("sample_rate"),
     )
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    splits: dict[str, float] | None = None,
+    out: str = "split",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row's split is a pure
+    function of its key hash, so the same document lands in the same split on
+    every rerun, resume, partitioning and engine (the property random()-based
+    splitters lack, and the one that prevents val→train leakage when the
+    corpus is re-ingested). ``splits`` maps names to fractions summing to ≤ 1;
+    remainder falls into the LAST listed split.
+
+    Scan-side CASE on the hash bucket — no shuffle, no state."""
+    splits = splits or {"train": 0.98, "val": 0.01, "test": 0.01}
+    b = hash_bucket(F.col(key_col), buckets)
+    names = list(splits)
+    expr = None
+    cum = 0.0
+    for name in names:
+        cum += splits[name]
+        thr = int(round(cum * buckets))
+        cond = b < F.lit(thr)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return df.withColumn(out, expr.otherwise(F.lit(names[-1])))
+
+
+def deterministic_shuffle(
+    df: DataFrame, key_col: str, seed: int = 42, out: str = "shuffle_rank"
+) -> DataFrame:
+    """Seeded pseudo-random global permutation for training-data loaders:
+    rank rows by md5(seed ‖ key) — reproducible across reruns/engines, unlike
+    ``orderBy(rand())``. Ties (astronomically unlikely 60-bit collisions)
+    break on the key itself.
+
+    Scale shape: ONE range-partitioned global sort (Spark samples boundaries,
+    sorts within partitions — the standard terasort shape); at 100 TB the
+    loader usually only needs the order WITHIN shards, in which case sort
+    ``(shard, rank_key)`` with shard = hash_bucket(key) instead and skip the
+    global exchange."""
+    rank_key = F.conv(
+        F.substring(F.md5(F.concat(F.lit(str(seed) + "-"), F.col(key_col).cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    w = Window.orderBy(rank_key, F.col(key_col).cast("string"))
+    return df.withColumn(out, F.row_number().over(w))
 
 
 def percentile_band_filter(

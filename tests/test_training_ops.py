@@ -781,3 +781,34 @@ def test_winnow_rightmost_tie_and_positions(spark):
     # only for identical grams; 'x y z' at 0 vs 4: same fp, both selectable -> 
     # the distinct set contains at most one row per (fp, pos) pair
     assert len(rows) == len({(r["fp"], r["fp_pos"]) for r in rows})
+
+
+def test_hash_split_deterministic_and_disjoint(spark):
+    from loongcollector_spark.operators.sampling import hash_split
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "doc_id int")
+    out = hash_split(df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] - 1600) < 120 and counts["train"] + counts["val"] + counts["test"] == 2000
+    # pure function of the key: identical assignment across repartitionings
+    a = {r["doc_id"]: r["split"] for r in out.collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(df.repartition(13), "doc_id",
+         {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    assert a == b
+
+
+def test_deterministic_shuffle_stable(spark):
+    from loongcollector_spark.operators.sampling import deterministic_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id int")
+    o1 = [r["doc_id"] for r in deterministic_shuffle(df, "doc_id", seed=7)
+          .orderBy("shuffle_rank").collect()]
+    o2 = [r["doc_id"] for r in deterministic_shuffle(df.repartition(11), "doc_id", seed=7)
+          .orderBy("shuffle_rank").collect()]
+    assert o1 == o2                      # permutation is a function of (seed, key)
+    assert sorted(o1) == list(range(500))  # it IS a permutation
+    assert o1[:20] != list(range(20))      # and not the identity
+    o3 = [r["doc_id"] for r in deterministic_shuffle(df, "doc_id", seed=8)
+          .orderBy("shuffle_rank").collect()]
+    assert o1 != o3                      # seed changes the order
