@@ -103,6 +103,34 @@ def windowed_counts(
     )
 
 
+def session_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    key: str = "user_id",
+    time_col: str = "ts",
+) -> DataFrame:
+    """Streaming sessionization: per-key activity sessions that close after
+    ``gap`` of inactivity (``F.session_window`` — Spark merges overlapping
+    windows statefully; the watermark bounds the state exactly like the
+    windowed counts). The streaming twin of the batch ``events_sessions``
+    query (gap sessionization via a lag/cumsum window), so a pipeline can
+    move between the two modes with the same session semantics.
+
+    Rows: (session_start, session_end, key, n_events) — append mode emits a
+    session only once its window can no longer grow (watermark passed)."""
+    with_ts = events.withWatermark(time_col, watermark)
+    agg = with_ts.groupBy(
+        F.session_window(F.col(time_col), gap).alias("w"), F.col(key)
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return agg.select(
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        key,
+        "n_events",
+    )
+
+
 def start_windowed_counts(
     routed: DataFrame,
     out_dir: str,
