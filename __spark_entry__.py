@@ -905,6 +905,27 @@ def q_shuffle_head(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.filter(F.col("shuffle_rank") <= 100).select("shuffle_rank", "doc_id")
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup against an existing corpus: the simulated new
+    batch = re-ingested copies (doc_id%5==0, re-keyed — must be dropped by the
+    corpus anti-join) ∪ modified docs (doc_id%5==1, text + suffix — novel,
+    kept) ∪ a second copy of the modified docs (re-keyed higher — dropped by
+    the within-batch keep-min). Output: surviving (doc_id, dup_key)."""
+    from loongcollector_spark.operators.dedup import incremental_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    reingest = d.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(100000)
+    )
+    modified = d.filter(F.col("doc_id") % 5 == 1).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" fresh suffix"))
+    )
+    dup_copy = modified.withColumn("doc_id", F.col("doc_id") + F.lit(200000))
+    new_batch = reingest.unionByName(modified).unionByName(dup_copy)
+    out = incremental_dedup(new_batch, d)
+    return out.select("doc_id", "dup_key")
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup on a normalized key (prefix) — representative = min(doc_id)."""
     d = _t(spark, sf_dir, "documents")
@@ -1358,6 +1379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_pairs": q_winnow_pairs,
         "hash_split": q_hash_split,
         "shuffle_head": q_shuffle_head,
+        "incremental_dedup": q_incremental_dedup,
         # --- last green in r01 (rotated out of the r02 window) ---
         "dedup_exact_norm": q_dedup_exact_norm,
         "charset_jaccard": q_charset_jaccard,
@@ -1675,6 +1697,25 @@ def oracle_sql() -> dict[str, str]:
             from deduped
             where ('0x' || substr(md5(cast(doc_id as varchar)), 1, 8))::bigint % 10000
                   < (case when lang = 'en' then 8000 else 5000 end)
+        """,
+        "incremental_dedup": r"""
+            with nb as (
+              select doc_id + 100000 as doc_id, text from documents where doc_id % 5 = 0
+              union all
+              select doc_id, text || ' fresh suffix' as text from documents where doc_id % 5 = 1
+              union all
+              select doc_id + 200000 as doc_id, text || ' fresh suffix' as text
+              from documents where doc_id % 5 = 1),
+            keyed as (select doc_id,
+                             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) as dup_key
+                      from nb),
+            corpus as (select distinct md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) as dup_key
+                       from documents),
+            fresh as (select k.* from keyed k left join corpus c using (dup_key)
+                      where c.dup_key is null),
+            reps as (select dup_key, min(doc_id) as rep from fresh group by dup_key)
+            select f.doc_id, f.dup_key from fresh f join reps using (dup_key)
+            where f.doc_id = reps.rep
         """,
         "hash_split": """
             with b as (select source,

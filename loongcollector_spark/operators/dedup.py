@@ -1007,6 +1007,35 @@ def winnow_pairs(
     )
 
 
+def incremental_dedup(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    within_batch: bool = True,
+) -> DataFrame:
+    """Incremental ingest dedup: drop new documents whose normalized text
+    already exists in the accepted corpus, then (optionally) dedup the
+    surviving batch against itself (keep min id). This is THE production
+    dedup shape at 100 TB — each ingest joins only ``new × corpus-keys``,
+    never re-deduping the whole corpus, and the corpus side can be a
+    pre-computed key table (one column, ~2% the corpus bytes).
+
+    Scale shape: corpus keys reduce to a distinct hash column (one map-side
+    combined agg); the check is a left-anti equi-join on the key — when the
+    new batch is small relative to the corpus, Spark builds the hash side
+    from the BATCH, so the corpus streams through unbuffered. No window."""
+    key = F.md5(normalize_text(F.col(text_col)).cast("binary"))
+    corpus_keys = corpus_df.select(key.alias("dup_key")).distinct()
+    fresh = new_df.withColumn("dup_key", key).join(
+        corpus_keys, "dup_key", "left_anti"
+    )
+    if within_batch:
+        reps = fresh.groupBy("dup_key").agg(F.min(id_col).alias("_rep"))
+        fresh = fresh.join(reps, "dup_key").filter(F.col(id_col) == F.col("_rep")).drop("_rep")
+    return fresh
+
+
 def stream_exact_dedup(
     df: "DataFrame",
     time_col: str = "event_time",

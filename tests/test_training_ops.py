@@ -812,3 +812,25 @@ def test_deterministic_shuffle_stable(spark):
     o3 = [r["doc_id"] for r in deterministic_shuffle(df, "doc_id", seed=8)
           .orderBy("shuffle_rank").collect()]
     assert o1 != o3                      # seed changes the order
+
+
+def test_incremental_dedup(spark):
+    corpus = spark.createDataFrame(
+        [(1, "existing doc one"), (2, "existing doc two")], "doc_id int, text string"
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "Existing  doc one"),   # normalized dup of corpus -> dropped
+            (11, "brand new document"),  # novel -> kept
+            (12, "brand new document"),  # within-batch dup -> dropped (11 wins)
+            (13, "another new one"),     # novel -> kept
+        ],
+        "doc_id int, text string",
+    )
+    kept = sorted(r["doc_id"] for r in D.incremental_dedup(new, corpus).collect())
+    assert kept == [11, 13]
+    # within_batch=False keeps both batch copies (corpus check only)
+    kept2 = sorted(
+        r["doc_id"] for r in D.incremental_dedup(new, corpus, within_batch=False).collect()
+    )
+    assert kept2 == [11, 12, 13]
