@@ -1230,6 +1230,34 @@ def q_spl_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compile_spl(e, SPL_KV_SCRIPT)
 
 
+SPL_FULL_SCRIPT = (
+    "* | parse-csv line as ip, status, bytes"
+    " | parse-json jline as k"
+    " | extend kb = cast(bytes as bigint) * 2"
+    " | project-rename addr = ip"
+    " | where status = '250'"
+    " | project event_id, addr, status, kb, k"
+)
+
+
+def q_spl_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SPL verbs the other two SPL queries don't exercise, in one compiled
+    script: parse-csv, parse-json, extend, project-rename, project (the
+    expression form), where — over synthesized CSV + JSON lines."""
+    from loongcollector_spark.plans.spl import compile_spl
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.concat(
+            F.lit("10.0."), (F.col("user_id") % 256).cast("string"), F.lit(".9,"),
+            (F.lit(200) + (F.col("event_id") % 3) * 50).cast("string"), F.lit(","),
+            (F.col("event_id") % 1000).cast("string"),
+        ).alias("line"),
+        F.concat(F.lit('{"k":"'), F.col("event_type"), F.lit('"}')).alias("jline"),
+    )
+    return compile_spl(e, SPL_FULL_SCRIPT)
+
+
 def q_multiline_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Each user's event stream merged into sessions starting at 'signup'
     (merge-multiline semantics over a deterministic line order)."""
@@ -1380,6 +1408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "shuffle_head": q_shuffle_head,
         "incremental_dedup": q_incremental_dedup,
+        "spl_full": q_spl_full,
         # --- last green in r01 (rotated out of the r02 window) ---
         "dedup_exact_norm": q_dedup_exact_norm,
         "charset_jaccard": q_charset_jaccard,
@@ -1697,6 +1726,24 @@ def oracle_sql() -> dict[str, str]:
             from deduped
             where ('0x' || substr(md5(cast(doc_id as varchar)), 1, 8))::bigint % 10000
                   < (case when lang = 'en' then 8000 else 5000 end)
+        """,
+        "spl_full": """
+            with t as (
+              select event_id,
+                     '10.0.' || cast(user_id % 256 as varchar) || '.9,'
+                         || cast(200 + (event_id % 3) * 50 as varchar) || ','
+                         || cast(event_id % 1000 as varchar) as line,
+                     '{"k":"' || event_type || '"}' as jline
+              from events),
+            p as (select event_id,
+                         trim(string_split(line, ',')[1]) as addr,
+                         trim(string_split(line, ',')[2]) as status,
+                         trim(string_split(line, ',')[3]) as bytes,
+                         json_extract_string(jline, '$.k') as k
+                  from t)
+            select event_id, addr, status,
+                   cast(bytes as bigint) * 2 as kb, k
+            from p where status = '250'
         """,
         "incremental_dedup": r"""
             with nb as (
