@@ -360,6 +360,29 @@ def q_gotime(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("o_orderkey", F.col("fields")["od_fmt"].alias("od_fmt"))
 
 
+def q_gotime_go(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """processor_gotime with Go reference layouts verbatim (config parity:
+    plugins/processor/gotime/processor_gotime.go:34-52) — RFC1123-ish source
+    text parsed with 'Mon, 02 Jan 2006 15:04:05' and reformatted with the
+    nginx CLF layout '02/Jan/2006:15:04:05'."""
+    from loongcollector_spark.operators.enrich import gotime
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "fields",
+        F.create_map(F.lit("t"), F.date_format("o_orderdate", "EEE, dd MMM yyyy HH:mm:ss")),
+    )
+    out = gotime(
+        o,
+        "t",
+        "Mon, 02 Jan 2006 15:04:05",
+        "clf",
+        "02/Jan/2006:15:04:05",
+        go_layout=True,
+        set_time=False,
+    )
+    return out.select("o_orderkey", F.col("fields")["clf"].alias("clf"))
+
+
 def q_fields_with_condition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from loongcollector_spark.operators.filters import fields_with_condition
 
@@ -1385,7 +1408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- rewritten after their last green row (r01) ---
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_dups": q_embedding_dups,
-        "minhash_lsh": q_minhash_lsh,
+        "gotime_go": q_gotime_go,
         # --- was no_oracle in r02; now has a known-answer VALUES oracle ---
         "encrypt": q_encrypt,
         # --- NEW in r03 (never checked) ---
@@ -1412,7 +1435,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- last green in r01 (rotated out of the r02 window) ---
         "dedup_exact_norm": q_dedup_exact_norm,
         "charset_jaccard": q_charset_jaccard,
-        "simhash_dups": q_simhash_dups,
         "language_id": q_language_id,
         "quality_score": q_quality_score,
         "token_count_bpe": q_token_count_bpe,
@@ -1470,6 +1492,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "desensitize_const": q_desensitize_const,
         "md5_field": q_md5_field,
         "base64": q_base64,
+        # rows-only (no oracle): kept OUT of the 50-slot window — their
+        # md5-oracle twins (minhash_lsh_md5 / simhash_dups_md5) are the
+        # driver-checked forms
+        "minhash_lsh": q_minhash_lsh,
+        "simhash_dups": q_simhash_dups,
     }
 
 
@@ -2138,6 +2165,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "anchor": "select p_partkey, p_type as atype, p_brand as abrand from part",
         "gotime": "select o_orderkey, strftime(o_orderdate, '%d/%m/%Y') as od_fmt from orders",
+        "gotime_go": (
+            "select o_orderkey, strftime(o_orderdate, '%d/%b/%Y:%H:%M:%S') as clf from orders"
+        ),
         "fields_with_condition": """
             select c_custkey,
                    case when c_mktsegment = 'BUILDING' then 'b'

@@ -328,14 +328,34 @@ def gotime(
     fields_col: str = "fields",
     set_time: bool = True,
     time_col: str = "event_time",
+    go_layout: bool = False,
 ) -> DataFrame:
     """processor_gotime: parse SourceKey with a time format, reformat into
     DestKey with src/dst timezone conversion
-    (plugins/processor/gotime/processor_gotime.go:34-52,111-118). Formats here
-    are Spark/JDK patterns, not Go reference layouts — the config compiler maps
-    them."""
+    (plugins/processor/gotime/processor_gotime.go:34-52,111-118). With
+    ``go_layout=True`` the formats are Go reference layouts exactly as a
+    reference config writes them (``"2006-01-02 15:04:05"``), translated via
+    :mod:`.gotime_layout`; otherwise raw Spark/JDK patterns."""
     base = F.col(fields_col)
-    ts = F.to_utc_timestamp(F.try_to_timestamp(base[source_key], F.lit(source_format)), source_tz)
+    src_val = base[source_key]
+    if go_layout:
+        from .gotime_layout import (
+            WEEKDAY_STRIP_REGEX,
+            go_layout_has_weekday,
+            go_layout_needs_pad_collapse,
+            go_layout_to_spark,
+        )
+
+        if go_layout_has_weekday(source_format):
+            # Spark bans 'E' in parse patterns; the day name is redundant
+            src_val = F.regexp_replace(src_val, WEEKDAY_STRIP_REGEX, "")
+        if go_layout_needs_pad_collapse(source_format):
+            # Go's _2 space-pads single digits ("Jan  2"); JDK 'd' rejects the
+            # extra space — collapse runs before the parse
+            src_val = F.regexp_replace(src_val, r"\s+", " ")
+        source_format = go_layout_to_spark(source_format, for_parse=True)
+        dest_format = go_layout_to_spark(dest_format)
+    ts = F.to_utc_timestamp(F.try_to_timestamp(src_val, F.lit(source_format)), source_tz)
     formatted = F.date_format(F.from_utc_timestamp(ts, dest_tz), dest_format)
     out = df.withColumn(fields_col, _set_field(base, dest_key, formatted, formatted.isNotNull()))
     if set_time:
