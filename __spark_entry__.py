@@ -1382,6 +1382,68 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Registry
 # ---------------------------------------------------------------------------
 
+
+
+def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style boilerplate removal: 2-word spans occurring in >= 25
+    distinct documents are stripped from EVERY document (vs segment_dedup's
+    first-occurrence keep); docs rebuilt in span order."""
+    from loongcollector_spark.operators.text import boilerplate_strip
+
+    return boilerplate_strip(_t(spark, sf_dir, "documents"), span=2, min_docs=25)
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-shape hashed uni+bigram linear quality classifier — pure
+    shuffle-free projection; integer weight sums keep Spark and the oracle
+    bit-identical."""
+    from loongcollector_spark.operators.text import hashed_ngram_classifier
+
+    d = hashed_ngram_classifier(_t(spark, sf_dir, "documents"), buckets=1024, seed="q")
+    return d.select("doc_id", "n_grams", "clf_score")
+
+
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM mean NLL per document (CCNet perplexity proxy,
+    one order above unigram_logprob)."""
+    from loongcollector_spark.operators.text import bigram_logprob
+
+    return bigram_logprob(_t(spark, sf_dir, "documents"), lam=0.7)
+
+
+def q_length_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loader-side length-bucketed batching: per-shard length-sorted batches
+    of 32 rows with per-batch padding-waste stats."""
+    from loongcollector_spark.operators.sampling import length_batching
+
+    return length_batching(
+        _t(spark, sf_dir, "documents"), length_col="n_chars",
+        shard_col="source", id_col="doc_id", batch_rows=32,
+    )
+
+
+def q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter ingest pre-check: bitmap built over the full corpus
+    (packed 63-bits-per-bigint rows — O(m) regardless of corpus size), probed
+    by a simulated new batch = re-ingested copies (must flag maybe_dup) +
+    modified docs (novel — false only up to the designed FP rate; FPs are
+    deterministic and the oracle replays them exactly)."""
+    from loongcollector_spark.operators.dedup import bloom_bitmap, bloom_membership
+
+    d = _t(spark, sf_dir, "documents")
+    bitmap = bloom_bitmap(d, m_bits=16384, k=3)
+    reingest = d.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(100000)
+    )
+    modified = d.filter(F.col("doc_id") % 5 == 1).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" fresh suffix"))
+    ).withColumn("doc_id", F.col("doc_id") + F.lit(200000))
+    batch = reingest.unionByName(modified)
+    out = bloom_membership(batch, bitmap, m_bits=16384, k=3)
+    return out.select("doc_id", "maybe_dup")
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry. ORDER MATTERS: the driver's correctness gate reads only
     the FIRST 50 entries (both CORRECTNESS_r01/r02 files contain exactly 50
@@ -1441,6 +1503,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "grok": q_grok,
         # --- r02 greens kept in-window (incl. everything touched this round) ---
+        # --- NEW in r03 session 2 (never checked) ---
+        "boilerplate_strip": q_boilerplate_strip,
+        "quality_classifier": q_quality_classifier,
+        "bigram_logprob": q_bigram_logprob,
+        "length_batching": q_length_batching,
+        "bloom_dedup": q_bloom_dedup,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_cosine_topk": q_ann_cosine_topk,
         "cloud_meta": q_cloud_meta,
@@ -1850,6 +1918,99 @@ def oracle_sql() -> dict[str, str]:
                    cast(count(*) as bigint) as n_shared
             from cold a join cold b on a.fp = b.fp and a.doc_id < b.doc_id
             group by 1, 2 having count(*) >= 2
+        """,
+        "boilerplate_strip": f"""
+            with w0 as (select doc_id, string_split({norm}, ' ') as ws from documents),
+            segs as (select doc_id, i - 1 as pos,
+                            array_to_string(ws[(i-1)*2+1:(i-1)*2+2], ' ') as seg
+                     from w0, unnest(range(1, cast(ceil(len(ws)/2.0) as bigint) + 1)) as t(i)),
+            hot as (select seg from (select seg, count(distinct doc_id) as nd
+                                     from segs group by seg) where nd >= 25),
+            kept as (select * from segs where seg not in (select seg from hot)),
+            reb as (select doc_id, cast(count(*) as bigint) as n_kept,
+                           string_agg(seg, ' ' order by pos) as text_clean
+                    from kept group by doc_id),
+            tot as (select doc_id, cast(count(*) as bigint) as n_segs from segs group by doc_id)
+            select tot.doc_id, tot.n_segs,
+                   coalesce(reb.n_kept, 0) as n_kept,
+                   coalesce(reb.text_clean, '') as text_clean
+            from tot left join reb using (doc_id)
+        """,
+        "quality_classifier": f"""
+            with w0 as (select doc_id, string_split({norm}, ' ') as ws from documents),
+            uni as (select doc_id, unnest(ws) as g from w0),
+            bi as (select doc_id, ws[i] || ' ' || ws[i+1] as g
+                   from w0, unnest(range(1, greatest(len(ws) - 1, 0) + 1)) as t(i)),
+            grams as (select * from uni union all select * from bi),
+            b as (select doc_id,
+                         ('0x' || substr(md5('q:' || g), 1, 8))::bigint % 1024 as bkt
+                  from grams),
+            s as (select doc_id, count(*) as n_grams,
+                         sum(bkt * 2654435761 % 997 - 498) as wsum
+                  from b group by doc_id)
+            select doc_id, cast(n_grams as int) as n_grams,
+                   round(1.0 / (1.0 + exp(-(cast(wsum as double) / (498.0 * n_grams)))), 6)
+                       as clf_score
+            from s
+        """,
+        "bigram_logprob": f"""
+            with w0 as (select doc_id, string_split({norm}, ' ') as ws from documents),
+            bg as (select doc_id, ws[i] as w1, ws[i+1] as w2
+                   from w0, unnest(range(1, greatest(len(ws) - 1, 0) + 1)) as t(i)),
+            per as (select doc_id, w1, w2, count(*) as tf from bg group by 1, 2, 3),
+            big as (select w1, w2, sum(tf) as c12 from per group by 1, 2),
+            hist as (select w1, sum(c12) as c1 from big group by 1),
+            uni as (select w2, sum(c12) as c2 from big group by 1),
+            tot as (select sum(c2) as tot, count(*) as vocab from uni),
+            lm as (select w1, w2,
+                          ln(cast(0.7 as double) * cast(c12 as double) / c1
+                             + (cast(1.0 as double) - cast(0.7 as double))
+                               * cast(c2 + 1 as double) / cast(tot + vocab as double)) as lp
+                   from big join hist using (w1) join uni using (w2), tot)
+            select per.doc_id, cast(sum(per.tf) as bigint) as n_bigrams,
+                   round(-sum(per.tf * lm.lp) / sum(per.tf), 6) as avg_nll
+            from per join lm using (w1, w2)
+            group by per.doc_id
+        """,
+        "length_batching": """
+            with r as (select source, doc_id, cast(n_chars as bigint) as len,
+                              row_number() over (partition by source
+                                  order by cast(n_chars as bigint),
+                                           cast(doc_id as varchar)) as rn
+                       from documents),
+            b as (select source, (rn - 1) // 32 as batch_id, len from r)
+            select source, batch_id, cast(count(*) as bigint) as n_rows,
+                   min(len) as min_len, max(len) as max_len,
+                   cast(sum(len) as bigint) as sum_len,
+                   round(1.0 - cast(sum(len) as double)
+                             / cast(count(*) * max(len) as double), 6) as pad_frac
+            from b group by 1, 2
+        """,
+        "bloom_dedup": f"""
+            with ck as (select md5({norm}) as key from documents),
+            cpos as (select ('0x' || substr(md5(i || ':' || key), 1, 15))::bigint
+                                % 16384 as p
+                     from ck, unnest([0, 1, 2]) as t(i)),
+            bm as (select p // 63 as word_idx,
+                          bit_or(1::bigint << cast(p % 63 as int)) as mask
+                   from cpos group by 1),
+            batch as (select doc_id + 100000 as doc_id, md5({norm}) as key
+                      from documents where doc_id % 5 = 0
+                      union all
+                      select doc_id + 200000 as doc_id,
+                             md5(trim(regexp_replace(lower(text || ' fresh suffix'),
+                                 '\\s+', ' ', 'g'))) as key
+                      from documents where doc_id % 5 = 1),
+            probe as (select doc_id,
+                             ('0x' || substr(md5(i || ':' || key), 1, 15))::bigint
+                                 % 16384 as p
+                      from batch, unnest([0, 1, 2]) as t(i)),
+            hit as (select doc_id,
+                           min(case when ((coalesce(mask, 0) >> cast(p % 63 as int)) & 1) = 1
+                                    then 1 else 0 end) as all_hit
+                    from probe left join bm on probe.p // 63 = bm.word_idx
+                    group by doc_id)
+            select doc_id, all_hit = 1 as maybe_dup from hit
         """,
         "unigram_logprob": r"""
             with w as (select doc_id,

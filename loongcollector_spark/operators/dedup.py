@@ -1058,3 +1058,90 @@ def stream_exact_dedup(
         key_cols = ["__dedup_key__"]
     out = keyed.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(key_cols)
     return out.drop("__dedup_key__") if "__dedup_key__" in out.columns else out
+
+
+def _bloom_positions(key: Column, m_bits: int, k: int) -> list[Column]:
+    """k deterministic md5-derived bit positions in [0, m_bits) for a key.
+    Position i hashes md5(f"{i}:" + key) — engine-portable (any SQL dialect
+    with md5 replays it bit-for-bit)."""
+    return [
+        F.conv(F.substring(F.md5(F.concat(F.lit(f"{i}:"), key)), 1, 15), 16, 10)
+        .cast("long")
+        % m_bits
+        for i in range(k)
+    ]
+
+
+def bloom_bitmap(
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    m_bits: int = 16384,
+    k: int = 3,
+) -> DataFrame:
+    """Build a packed Bloom-filter bitmap over the corpus's normalized-text
+    keys as a DataFrame of (word_idx, mask) rows — ≤ ceil(m/63) rows total
+    REGARDLESS of corpus size, so the membership side always broadcasts.
+    Bits pack 63 per bigint word (bit 63 untouched — keeps every mask
+    non-negative, dodging engine-specific sign-bit shift behavior).
+
+    This is the 100 TB incremental-ingest primitive ``incremental_dedup``'s
+    distinct-key table grows linearly with: the bitmap is O(m) forever (e.g.
+    2^33 bits ≈ 128 M words ≈ 1 GiB for 10^9 keys at ~2% FP with k=3), at
+    the price of a deterministic false-positive rate — the classic
+    dedup-at-ingest tradeoff (maybe-dup rows go to the exact checker;
+    definitely-new rows skip it)."""
+    key = F.md5(normalize_text(F.col(text_col)).cast("binary"))
+    pos = F.explode(F.array(*_bloom_positions(key, m_bits, k))).alias("pos")
+    return (
+        corpus_df.select(pos)
+        .select(
+            (F.col("pos") / 63).cast("long").alias("word_idx"),
+            F.expr("shiftleft(cast(1 as bigint), cast(pos % 63 as int))").alias("bitval"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("bitval").alias("mask"))
+    )
+
+
+def bloom_membership(
+    batch_df: DataFrame,
+    bitmap_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m_bits: int = 16384,
+    k: int = 3,
+    out: str = "maybe_dup",
+) -> DataFrame:
+    """Probe a ``bloom_bitmap`` with a new ingest batch: a row is
+    ``maybe_dup`` iff ALL k of its key's bit positions are set (Bloom
+    semantics — false positives possible at the designed rate, false
+    negatives impossible). Rows: batch columns + maybe_dup.
+
+    Scale shape: the batch explodes to k rows each, joins the BROADCAST
+    bitmap on word_idx (the bitmap is ≤ m/63 rows by construction), and one
+    map-side-combined min() agg per doc ANDs the k probes back together — the
+    corpus itself is never touched."""
+    key = F.md5(normalize_text(F.col(text_col)).cast("binary"))
+    probes = batch_df.select(
+        F.col(id_col),
+        F.explode(F.array(*_bloom_positions(key, m_bits, k))).alias("pos"),
+    ).select(
+        id_col,
+        (F.col("pos") / 63).cast("long").alias("word_idx"),
+        (F.col("pos") % 63).cast("int").alias("bit"),
+    )
+    hit = (
+        probes.join(F.broadcast(bitmap_df), "word_idx", "left")
+        .select(
+            id_col,
+            F.expr(
+                "case when (shiftright(coalesce(mask, cast(0 as bigint)), bit) & 1) = 1"
+                " then 1 else 0 end"
+            ).alias("_hit"),
+        )
+        .groupBy(id_col)
+        .agg(F.min("_hit").alias("_all_hit"))
+    )
+    return batch_df.join(hit, id_col).withColumn(
+        out, F.col("_all_hit") == 1
+    ).drop("_all_hit")

@@ -177,3 +177,43 @@ def stratified_sample(
             F.col(strata_col) == F.lit(stratum), F.lit(int(round(rate * buckets)))
         ).otherwise(thr)
     return df.filter(hash_bucket(F.col(key_col), buckets) < thr)
+
+
+def length_batching(
+    df: DataFrame,
+    length_col: str = "n_chars",
+    shard_col: str = "source",
+    id_col: str = "doc_id",
+    batch_rows: int = 32,
+) -> DataFrame:
+    """Loader-side length-bucketed batching: within each shard, order
+    sequences by length and cut fixed-size batches of ``batch_rows`` rows, so
+    each batch pads to its own max length instead of the corpus max — the
+    standard padding-waste minimizer for training dataloaders (vs random
+    batching, where expected waste per batch tracks the global length
+    spread). Rows: one per batch — (shard, batch_id, n_rows, min_len,
+    max_len, sum_len, pad_frac) with pad_frac = 1 − sum/(n·max).
+
+    Scale shape: ONE row_number window per shard partition (ties broken on
+    the id for determinism) → ONE hash agg keyed (shard, batch). At 100 TB
+    shards are further split by a hash bucket of the id — batch quality only
+    needs length-locality WITHIN a worker's slice, so the window never spans
+    a corpus-wide partition."""
+    w = Window.partitionBy(shard_col).orderBy(
+        F.col(length_col).cast("long"), F.col(id_col).cast("string")
+    )
+    batched = df.withColumn(
+        "batch_id", ((F.row_number().over(w) - 1) / batch_rows).cast("long")
+    )
+    return batched.groupBy(shard_col, "batch_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(F.col(length_col).cast("long")).alias("min_len"),
+        F.max(F.col(length_col).cast("long")).alias("max_len"),
+        F.sum(F.col(length_col).cast("long")).alias("sum_len"),
+        F.round(
+            F.lit(1.0)
+            - F.sum(F.col(length_col).cast("long"))
+            / (F.count(F.lit(1)) * F.max(F.col(length_col).cast("long"))).cast("double"),
+            6,
+        ).alias("pad_frac"),
+    )

@@ -317,3 +317,182 @@ def fingerprint(
     return df.withColumn(out, md5).withColumn(
         out_int, F.conv(F.substring(md5, 1, 15), 16, 10).cast("long")
     )
+
+
+def boilerplate_strip(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span: int = 8,
+    min_docs: int = 20,
+) -> DataFrame:
+    """CCNet-style boilerplate removal: segment every document into fixed
+    ``span``-word spans, count how many DISTINCT documents each normalized
+    span appears in across the corpus, and strip spans that occur in
+    ``min_docs`` or more documents (headers, footers, cookie banners, nav
+    junk) from EVERY document. Unlike ``segment_dedup`` (which keeps the
+    first occurrence), boilerplate spans are removed from all copies — the
+    CCNet / RefinedWeb paragraph-hash rule.
+
+    Rows: (doc_id, n_segs, n_kept, text_clean) with the surviving spans
+    rejoined in position order.
+
+    Scale shape: explode spans → ONE map-side-combined hash agg keyed span
+    (distinct-doc counts via (span, doc) pre-agg) → the hot-span list is tiny
+    by construction (only spans repeated across ≥min_docs docs) and
+    BROADCASTS into a left-anti join that rides the scan → ONE hash agg keyed
+    doc to reassemble. No window, no Python."""
+    words = _words(F.col(text_col))
+    n_seg = F.ceil(F.size(words) / F.lit(span)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_seg - 1),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.array_join(F.slice(words, i * span + 1, span), " ").alias("seg"),
+        ),
+    )
+    exploded = df.select(F.col(id_col), F.explode(segs).alias("s")).select(
+        id_col, F.col("s.pos").alias("pos"), F.col("s.seg").alias("seg")
+    )
+    hot = (
+        exploded.select("seg", id_col)
+        .distinct()
+        .groupBy("seg")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("seg")
+    )
+    kept = exploded.join(F.broadcast(hot), "seg", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("text_clean"),
+    )
+    totals = exploded.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_segs"))
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            "n_segs",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        )
+    )
+
+
+def hashed_ngram_classifier(
+    df: DataFrame,
+    text_col: str = "text",
+    out: str = "clf_score",
+    buckets: int = 1024,
+    seed: str = "q",
+) -> DataFrame:
+    """fastText-style linear quality classifier over hashed word uni+bigram
+    features: bucket = md5(seed‖gram) % buckets, fixed deterministic weight
+    per bucket, document score = sigmoid(mean weight). The weight table here
+    is a fixed pseudo-random init (w(b) = (b·2654435761 mod 997 − 498)/498,
+    zero-mean) — swapping in trained weights is a literal-map change; the
+    *shape* (hashing-trick featurizer → linear head) is exactly fastText's.
+
+    Scale shape: a pure per-row projection — no shuffle, no join, no Python.
+    Gram weights are summed as exact INTEGERS (order-independent) and divided
+    once at the end, so Spark and any SQL oracle agree bit-for-bit.
+
+    Rows: input columns + (n_grams, out)."""
+    words = _words(F.col(text_col))
+    n = F.size(words)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(words, 1, F.greatest(n - 1, F.lit(0))),
+            F.slice(words, 2, F.greatest(n - 1, F.lit(0))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = F.concat(words, bigrams)
+    # integer weight numerator per gram: (bucket * 2654435761) % 997 - 498
+    wsum = F.aggregate(
+        grams,
+        F.lit(0).cast("long"),
+        lambda acc, g: acc
+        + (
+            (F.conv(F.substring(F.md5(F.concat(F.lit(seed + ":"), g)), 1, 8), 16, 10)
+             .cast("long") % buckets)
+            * F.lit(2654435761)
+        )
+        % 997
+        - 498,
+    )
+    n_grams = F.size(grams)
+    score = F.lit(1.0) / (
+        F.lit(1.0)
+        + F.exp(-(wsum.cast("double") / (F.lit(498.0) * n_grams)))
+    )
+    return df.withColumn("n_grams", n_grams).withColumn(
+        out, F.round(score, 6)
+    )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.7,
+) -> DataFrame:
+    """Interpolated bigram-LM quality score (the CCNet perplexity proxy one
+    order up from ``unigram_logprob``): per document, mean NLL of its word
+    bigrams under p(w2|w1) = λ·c(w1w2)/c(w1•) + (1−λ)·(c(w2)+1)/(N+V), both
+    models fit on the corpus itself. Rows: (doc_id, n_bigrams, avg_nll).
+
+    Scale shape: explode bigrams → hash agg keyed (doc, bigram) → corpus
+    bigram counts via ONE more hash agg; the history count c(w1•) and the
+    smoothed unigram term join on word keys. The bigram LM table is the one
+    non-broadcastable side at web scale — it joins the per-doc table on the
+    bigram key as a plain shuffled equi-join (both sides pre-reduced), and in
+    production it is pruned to the top-M bigrams with the unigram term as
+    backoff for the tail. No window, no Python."""
+    words = df.select(
+        F.col(id_col), _words(F.col(text_col)).alias("_ws")
+    ).select(
+        F.col(id_col),
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("_ws"), 1, F.greatest(F.size("_ws") - 1, F.lit(0))),
+                F.slice(F.col("_ws"), 2, F.greatest(F.size("_ws") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg"),
+    ).select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    per = words.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("tf"))
+    big = per.groupBy("w1", "w2").agg(F.sum("tf").alias("c12"))
+    hist = big.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    uni = big.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    tot = uni.agg(F.sum("c2").alias("_tot"), F.count(F.lit(1)).alias("_vocab"))
+    lm = (
+        big.join(hist, "w1")
+        .join(uni, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.log(
+                F.lit(lam) * F.col("c12").cast("double") / F.col("c1")
+                + F.lit(1.0 - lam)
+                * (F.col("c2") + F.lit(1)).cast("double")
+                / (F.col("_tot") + F.col("_vocab")).cast("double")
+            ).alias("_lp"),
+        )
+    )
+    return (
+        per.join(lm, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("n_bigrams"),
+            F.round(-F.sum(F.col("tf") * F.col("_lp")) / F.sum("tf"), 6).alias("avg_nll"),
+        )
+    )

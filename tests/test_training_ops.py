@@ -834,3 +834,90 @@ def test_incremental_dedup(spark):
         r["doc_id"] for r in D.incremental_dedup(new, corpus, within_batch=False).collect()
     )
     assert kept2 == [11, 12, 13]
+
+
+def test_boilerplate_strip(spark):
+    # "cookie banner ok" span appears in 3 docs -> stripped everywhere at
+    # min_docs=3; unique spans survive in position order
+    rows = [
+        (1, "cookie banner ok unique alpha text here now"),
+        (2, "cookie banner ok different beta words go here"),
+        (3, "cookie banner ok gamma body content stays put"),
+        (4, "totally original document with no shared spans"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r for r in
+           X.boilerplate_strip(df, span=3, min_docs=3).collect()}
+    # every doc has ceil(8/3)=3 spans
+    assert all(out[i]["n_segs"] == 3 for i in (1, 2, 3, 4))
+    # the shared leading span is gone from docs 1-3, kept order preserved
+    assert out[1]["text_clean"] == "unique alpha text here now"
+    assert out[2]["text_clean"] == "different beta words go here"
+    assert out[1]["n_kept"] == 2
+    # untouched doc keeps everything
+    assert out[4]["n_kept"] == 3
+    assert out[4]["text_clean"] == "totally original document with no shared spans"
+
+
+def test_hashed_ngram_classifier(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "zk1 zk2")],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           X.hashed_ngram_classifier(df).select("doc_id", "n_grams", "clf_score").collect()}
+    # 3 words -> 3 unigrams + 2 bigrams
+    assert out[1]["n_grams"] == 5
+    assert out[3]["n_grams"] == 3
+    # deterministic: identical text = identical score; scores in (0, 1)
+    assert out[1]["clf_score"] == out[2]["clf_score"]
+    assert 0.0 < out[1]["clf_score"] < 1.0
+
+
+def test_bigram_logprob(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "a b c d e f")],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in X.bigram_logprob(df).collect()}
+    assert out[1]["n_bigrams"] == 5 and out[2]["n_bigrams"] == 5
+    # doc 1 is pure repetition of the corpus's dominant bigram -> lower NLL
+    assert out[1]["avg_nll"] < out[2]["avg_nll"]
+
+
+def test_length_batching(spark):
+    from loongcollector_spark.operators.sampling import length_batching
+
+    rows = [(i, "s", 10 * (i % 7) + 1) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id int, source string, n_chars int")
+    out = {r["batch_id"]: r for r in
+           length_batching(df, batch_rows=4).collect()}
+    # 10 rows -> batches of 4,4,2 in length order
+    assert [out[i]["n_rows"] for i in (0, 1, 2)] == [4, 4, 2]
+    # batches are length-sorted: max of batch 0 <= min of batch 1, etc.
+    assert out[0]["max_len"] <= out[1]["min_len"]
+    assert out[1]["max_len"] <= out[2]["min_len"]
+    # pad_frac consistent with the stats
+    r = out[0]
+    assert abs(r["pad_frac"] - (1 - r["sum_len"] / (r["n_rows"] * r["max_len"]))) < 1e-6
+
+
+def test_bloom_membership(spark):
+    corpus = spark.createDataFrame(
+        [(i, f"corpus document number {i}") for i in range(50)],
+        "doc_id int, text string",
+    )
+    bitmap = D.bloom_bitmap(corpus, m_bits=16384, k=3)
+    # bitmap is bounded by m/63 words no matter the corpus size
+    assert bitmap.count() <= 16384 // 63 + 1
+    batch = spark.createDataFrame(
+        [(100, "corpus document number 7"),   # exists -> MUST flag (no false negatives)
+         (101, "Corpus  Document Number 8"),  # normalization-equal -> MUST flag
+         (102, "entirely novel text never seen")],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r["maybe_dup"] for r in
+           D.bloom_membership(batch, bitmap, m_bits=16384, k=3).collect()}
+    assert out[100] is True and out[101] is True
+    # 3 hashes over 16384 bits with 150 set bits: FP odds ~(150/16384)^3 ~ 1e-6
+    assert out[102] is False
