@@ -1444,6 +1444,27 @@ def q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+
+def q_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize-to-ids with a corpus-built 24-word vocab (the synth corpus
+    has 31 distinct words, so the tail IS out-of-vocabulary): per-doc
+    token/OOV counts plus the first 16 token ids — the encoding itself is
+    checked, not just the stats."""
+    from loongcollector_spark.operators.text import vocab_encode
+
+    return vocab_encode(_t(spark, sf_dir, "documents"), vocab_size=24, head=16)
+
+
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy per document (gibberish /
+    binary-junk detector)."""
+    from loongcollector_spark.operators.text import char_entropy
+
+    return char_entropy(_t(spark, sf_dir, "documents"))
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry. ORDER MATTERS: the driver's correctness gate reads only
     the FIRST 50 entries (both CORRECTNESS_r01/r02 files contain exactly 50
@@ -1509,8 +1530,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob": q_bigram_logprob,
         "length_batching": q_length_batching,
         "bloom_dedup": q_bloom_dedup,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "ann_cosine_topk": q_ann_cosine_topk,
+        "vocab_encode": q_vocab_encode,
+        "char_entropy": q_char_entropy,
         "cloud_meta": q_cloud_meta,
         "cloud_meta_nested": q_cloud_meta_nested,
         "geoip": q_geoip,
@@ -1518,6 +1539,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "route_rows": q_route_rows,
         "fanout_multi": q_fanout_multi,
         "group_content_values": q_group_content_values,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_cosine_topk": q_ann_cosine_topk,
         "shard_hash": q_shard_hash,
         "parse_regex": q_parse_regex,
         "parse_json": q_parse_json,
@@ -1918,6 +1941,39 @@ def oracle_sql() -> dict[str, str]:
                    cast(count(*) as bigint) as n_shared
             from cold a join cold b on a.fp = b.fp and a.doc_id < b.doc_id
             group by 1, 2 having count(*) >= 2
+        """,
+        "vocab_encode": f"""
+            with w0 as (select doc_id, string_split({norm}, ' ') as ws from documents),
+            w as (select doc_id, i - 1 as pos, ws[i] as word
+                  from w0, unnest(range(1, len(ws) + 1)) as t(i)
+                  where ws[i] <> ''),
+            freq as (select word, count(*) as cnt from w group by word),
+            topk as (select word, cnt from freq order by cnt desc, word limit 24),
+            vocab as (select word,
+                             row_number() over (order by cnt desc, word) as tok_id
+                      from topk),
+            enc as (select doc_id, pos, coalesce(tok_id, 0) as tok_id
+                    from w left join vocab using (word))
+            select doc_id, cast(count(*) as bigint) as n_tok,
+                   cast(sum(case when tok_id = 0 then 1 else 0 end) as bigint) as n_oov,
+                   round(sum(case when tok_id = 0 then 1 else 0 end)
+                         / cast(count(*) as double), 6) as oov_rate,
+                   array_to_string(list_transform(
+                       list_slice(array_agg(tok_id order by pos), 1, 16),
+                       x -> cast(x as varchar)), ',') as ids_head
+            from enc group by doc_id
+        """,
+        "char_entropy": """
+            with c as (select doc_id, unnest(string_split(text, '')) as ch
+                       from documents),
+            per as (select doc_id, ch, count(*) as cnt from c
+                    where ch <> '' group by 1, 2),
+            tot as (select doc_id, sum(cnt) as n from per group by 1)
+            select per.doc_id, cast(max(n) as bigint) as n_chars_t,
+                   round(-sum((cast(cnt as double) / n)
+                              * ln(cast(cnt as double) / n)), 6) as entropy
+            from per join tot using (doc_id)
+            group by per.doc_id
         """,
         "boilerplate_strip": f"""
             with w0 as (select doc_id, string_split({norm}, ' ') as ws from documents),

@@ -496,3 +496,86 @@ def bigram_logprob(
             F.round(-F.sum(F.col("tf") * F.col("_lp")) / F.sum("tf"), 6).alias("avg_nll"),
         )
     )
+
+
+def vocab_encode(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 1000,
+    head: int = 16,
+) -> DataFrame:
+    """Tokenize-to-ids: build a frequency-ranked word vocabulary of size
+    ``vocab_size`` (rank 1 = most frequent; ties break on the word; id 0 =
+    OOV/unk) and encode every document — the loader step that produces
+    exactly the engine's input shape (``tokens array<int>``) from raw text.
+    Rows: (doc_id, n_tok, n_oov, oov_rate, ids_head) where ids_head is the
+    first ``head`` token ids comma-joined (keeps the encoding itself, not
+    just the counts, oracle-checkable).
+
+    Scale shape: ONE map-side-combined word-frequency agg → TakeOrdered K
+    (distributed top-k, never a corpus-wide sort) → rank window over the K
+    vocab rows only → vocab BROADCASTS into the encode join → ONE hash agg
+    keyed doc to reassemble in position order. No corpus-wide window."""
+    toks = df.select(
+        F.col(id_col), F.posexplode(_words(F.col(text_col))).alias("pos", "word")
+    ).filter(F.col("word") != "")
+    freq = toks.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    topk = freq.orderBy(F.col("cnt").desc(), F.col("word")).limit(vocab_size)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("word"))
+    vocab = topk.withColumn("tok_id", F.row_number().over(w)).select("word", "tok_id")
+    enc = toks.join(F.broadcast(vocab), "word", "left").select(
+        id_col, "pos", F.coalesce("tok_id", F.lit(0)).alias("tok_id")
+    )
+    return enc.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.sum(F.when(F.col("tok_id") == 0, 1).otherwise(0)).alias("n_oov"),
+        F.round(
+            F.sum(F.when(F.col("tok_id") == 0, 1).otherwise(0))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("oov_rate"),
+        F.array_join(
+            F.slice(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok_id"))),
+                    lambda s: s["tok_id"].cast("string"),
+                ),
+                1,
+                head,
+            ),
+            ",",
+        ).alias("ids_head"),
+    )
+
+
+def char_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document character-distribution Shannon entropy (nats) — the
+    classic gibberish/binary-junk detector (random bytes ≈ ln(alphabet)
+    entropy; repeated-char spam ≈ 0). Rows: (doc_id, n_chars_t, entropy).
+
+    Scale shape: explode chars → ONE map-side-combined hash agg keyed
+    (doc, char) — per-doc alphabets are ≤ a few hundred entries, so the agg
+    collapses hard — → doc totals + entropy in one more keyed agg pair. No
+    window, no Python."""
+    chars = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), "", -1)).alias("ch")
+    ).filter(F.col("ch") != "")
+    per = chars.groupBy(id_col, "ch").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = per.groupBy(id_col).agg(F.sum("cnt").alias("n"))
+    return (
+        per.join(tot, id_col)
+        .groupBy(id_col)
+        .agg(
+            F.max("n").alias("n_chars_t"),
+            F.round(
+                -F.sum(
+                    (F.col("cnt").cast("double") / F.col("n"))
+                    * F.log(F.col("cnt").cast("double") / F.col("n"))
+                ),
+                6,
+            ).alias("entropy"),
+        )
+    )

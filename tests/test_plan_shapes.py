@@ -141,3 +141,47 @@ def test_percentile_band_is_scan_side_filter(spark, docs_path):
     plan = _plan(percentile_band_filter(d, "n_chars", 0.05, 0.95))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "Window" not in plan and "SortMergeJoin" not in plan
+
+
+def test_bloom_bitmap_join_is_broadcast(spark, docs_path):
+    from loongcollector_spark.operators.dedup import bloom_bitmap, bloom_membership
+
+    corpus = spark.read.parquet(docs_path)
+    bitmap = bloom_bitmap(corpus, m_bits=16384, k=3)
+    out = bloom_membership(corpus.limit(100), bitmap, m_bits=16384, k=3)
+    plan = _plan(out)
+    # the bitmap side (<= m/63 rows by construction) must broadcast; the
+    # batch-vs-bitmap probe must never sort-merge or nested-loop
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_boilerplate_hot_list_is_broadcast_anti_join(spark, docs_path):
+    from loongcollector_spark.operators.text import boilerplate_strip
+
+    out = boilerplate_strip(spark.read.parquet(docs_path), span=2, min_docs=3)
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_quality_classifier_is_shuffle_free(spark, docs_path):
+    from loongcollector_spark.operators.text import hashed_ngram_classifier
+
+    out = hashed_ngram_classifier(spark.read.parquet(docs_path))
+    plan = _plan(out)
+    # pure projection: no exchange, no join, no Python
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_length_batching_window_is_per_shard(spark, docs_path):
+    from loongcollector_spark.operators.sampling import length_batching
+
+    out = length_batching(spark.read.parquet(docs_path), batch_rows=32)
+    plan = _plan(out)
+    # exactly the per-shard window partitioning, never a corpus-wide
+    # single-partition window
+    assert "Window" in plan
+    assert "SinglePartition" not in plan

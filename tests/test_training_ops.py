@@ -921,3 +921,31 @@ def test_bloom_membership(spark):
     assert out[100] is True and out[101] is True
     # 3 hashes over 16384 bits with 150 set bits: FP odds ~(150/16384)^3 ~ 1e-6
     assert out[102] is False
+
+
+def test_vocab_encode(spark):
+    df = spark.createDataFrame(
+        [(1, "aa bb aa cc"), (2, "aa bb zz-rare")],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           X.vocab_encode(df, vocab_size=3, head=4).collect()}
+    # corpus freqs: aa=3 bb=2 cc=1 zz-rare=1 -> vocab = {aa:1, bb:2, cc:3}
+    # (ties on cnt break alphabetically: cc beats zz-rare)
+    assert out[1]["ids_head"] == "1,2,1,3"
+    assert out[1]["n_oov"] == 0
+    assert out[2]["ids_head"] == "1,2,0"   # zz-rare is OOV -> 0
+    assert out[2]["n_oov"] == 1
+    assert abs(out[2]["oov_rate"] - 1 / 3) < 1e-5
+
+
+def test_char_entropy(spark):
+    df = spark.createDataFrame(
+        [(1, "aaaaaaaa"), (2, "abcdefgh")],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in X.char_entropy(df).collect()}
+    import math
+    assert out[1]["entropy"] == 0.0                       # single-char spam
+    assert abs(out[2]["entropy"] - math.log(8)) < 1e-5    # uniform over 8 chars
+    assert out[2]["n_chars_t"] == 8
