@@ -1464,6 +1464,55 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return char_entropy(_t(spark, sf_dir, "documents"))
 
 
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-rule quality booleans (word-count band 20..80 splits
+    this corpus' 10..99 range, so both bands actually fire)."""
+    from loongcollector_spark.operators.text import gopher_rules
+
+    return gopher_rules(_t(spark, sf_dir, "documents"), min_words=20, max_words=80)
+
+
+def q_keyword_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Taxonomy keyword tagging with the default 3-topic taxonomy (pure
+    codegen projection; tie-break = taxonomy declaration order)."""
+    from loongcollector_spark.operators.text import keyword_tag
+
+    return keyword_tag(_t(spark, sf_dir, "documents"))
+
+
+def q_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-one policy on top of the dedup_cluster closure: survivor = max
+    n_chars then min doc_id; everyone else marked is_drop."""
+    from loongcollector_spark.operators.dedup import cluster_survivors
+
+    clusters = q_dedup_cluster(spark, sf_dir)
+    return cluster_survivors(clusters, _t(spark, sf_dir, "documents"))
+
+
+def q_skew_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostic over documents.lang (genuinely skewed in
+    the testdata: en ~2.2x the mean): top keys, shares, skew factor and the
+    salt-bucket count salted_repartition should use at the given target."""
+    from loongcollector_spark.operators.aggregate import skew_probe
+
+    return skew_probe(_t(spark, sf_dir, "documents"), key_col="lang",
+                      top_k=10, target_rows_per_task=100)
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf slope/r2 over the top-50 corpus vocabulary."""
+    from loongcollector_spark.operators.text import zipf_fit
+
+    return zipf_fit(_t(spark, sf_dir, "documents"), top_v=50)
+
+
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card: volumes, length spread, fixed per-lang doc
+    counts (one shuffle to |sources| rows)."""
+    from loongcollector_spark.operators.text import dataset_card
+
+    return dataset_card(_t(spark, sf_dir, "documents"))
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry. ORDER MATTERS: the driver's correctness gate reads only
@@ -1532,7 +1581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_dedup": q_bloom_dedup,
         "vocab_encode": q_vocab_encode,
         "char_entropy": q_char_entropy,
-        "cloud_meta": q_cloud_meta,
+        "gopher_rules": q_gopher_rules,
         "cloud_meta_nested": q_cloud_meta_nested,
         "geoip": q_geoip,
         "pipeline_route_counts": q_pipeline_route_counts,
@@ -1560,7 +1609,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_log_regex": q_split_log_regex,
         "appender_template": q_appender_template,
         "appender_sort_labels": q_appender_sort_labels,
-        # ---- position 51+: r02-green, untouched; r04 rotation candidates ----
+        # ---- position 51+: NEW in r03 session 3 (window full — first r04
+        # rotation priority; validated by tools/driver_check.py) ----
+        "keyword_tag": q_keyword_tag,
+        "cluster_survivors": q_cluster_survivors,
+        "skew_probe": q_skew_probe,
+        "zipf_fit": q_zipf_fit,
+        "dataset_card": q_dataset_card,
+        # cloud_meta: r02-green untouched — displaced by gopher_rules
+        "cloud_meta": q_cloud_meta,
+        # ---- r02-green, untouched; r04 rotation candidates ----
         "grok_typed": q_grok_typed,
         "token_count": q_token_count,
         "topk_per_group": q_topk_per_group,
@@ -1974,6 +2032,128 @@ def oracle_sql() -> dict[str, str]:
                               * ln(cast(cnt as double) / n)), 6) as entropy
             from per join tot using (doc_id)
             group by per.doc_id
+        """,
+        "skew_probe": """
+            with counts as (select lang as key, count(*) as cnt
+                            from documents group by 1),
+            totals as (select sum(cnt) as n_rows, count(*) as n_keys from counts)
+            select key, cnt,
+                   round(cnt / cast(n_rows as double), 6) as share,
+                   round(cnt * n_keys / cast(n_rows as double), 6) as skew_factor,
+                   cast(ceil(cnt / 100.0) as bigint) as recommended_salts,
+                   n_rows, cast(n_keys as bigint) as n_keys
+            from counts, totals
+            order by cnt desc, key limit 10
+        """,
+        "zipf_fit": f"""
+            with w as (select unnest(string_split({norm}, ' ')) as word
+                       from documents),
+            freq as (select word, count(*) as cnt from w
+                     where word <> '' group by 1),
+            top as (select word, cnt,
+                           row_number() over (order by cnt desc, word) as rank
+                    from freq order by cnt desc, word limit 50)
+            select cast(count(*) as bigint) as n_words_fit,
+                   round(regr_slope(ln(cnt), ln(rank)), 5) as zipf_slope,
+                   round(regr_r2(ln(cnt), ln(rank)), 5) as zipf_r2,
+                   min(case when rank = 1 then word end) as top_word,
+                   max(case when rank = 1 then cnt end) as top_cnt
+            from top
+        """,
+        "dataset_card": f"""
+            select source,
+                   cast(count(*) as bigint) as n_docs,
+                   cast(sum(len(string_split({norm}, ' '))) as bigint) as n_words,
+                   cast(sum(length(text)) as bigint) as n_chars,
+                   cast(min(len(string_split({norm}, ' '))) as int) as min_words,
+                   cast(max(len(string_split({norm}, ' '))) as int) as max_words,
+                   round(avg(len(string_split({norm}, ' '))), 6) as avg_words,
+                   cast(sum(case when lang = 'en' then 1 else 0 end) as bigint) as docs_en,
+                   cast(sum(case when lang = 'fr' then 1 else 0 end) as bigint) as docs_fr,
+                   cast(sum(case when lang = 'es' then 1 else 0 end) as bigint) as docs_es,
+                   cast(sum(case when lang = 'de' then 1 else 0 end) as bigint) as docs_de,
+                   cast(sum(case when lang = 'zh' then 1 else 0 end) as bigint) as docs_zh
+            from documents group by source
+        """,
+        "gopher_rules": f"""
+            with w as (select doc_id, text,
+                              string_split({norm}, ' ') as ws
+                       from documents),
+            ft as (select doc_id,
+                          len(ws) as n_words,
+                          round(list_sum(list_transform(ws, w -> length(w)))
+                                / cast(greatest(len(ws), 1) as double), 6) as mean_word_len,
+                          length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) as punct,
+                          len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) as alpha_words,
+                          len(list_intersect(list_distinct(ws),
+                              ['the','and','of','to','in','is','that','for','with','was'])) as sw_hits
+                   from w)
+            select doc_id, cast(n_words as int) as n_words, mean_word_len,
+                   (n_words >= 20 and n_words <= 80) as r_word_count,
+                   (mean_word_len >= 2.0 and mean_word_len <= 10.0) as r_mean_word_len,
+                   (round(punct / cast(greatest(n_words, 1) as double), 6) <= 0.10) as r_punct,
+                   (round(alpha_words / cast(greatest(n_words, 1) as double), 6) >= 0.80) as r_alpha,
+                   (sw_hits >= 1) as r_stopword,
+                   ((n_words >= 20 and n_words <= 80)
+                    and (mean_word_len >= 2.0 and mean_word_len <= 10.0)
+                    and (round(punct / cast(greatest(n_words, 1) as double), 6) <= 0.10)
+                    and (round(alpha_words / cast(greatest(n_words, 1) as double), 6) >= 0.80)
+                    and (sw_hits >= 1)) as keep
+            from ft
+        """,
+        "keyword_tag": f"""
+            with w as (select doc_id, string_split({norm}, ' ') as ws from documents),
+            h as (select doc_id,
+                         len(list_filter(ws, w -> list_contains(
+                             ['spark','agg','sort','merge','batch','window'], w))) as compute_hits,
+                         len(list_filter(ws, w -> list_contains(
+                             ['table','row','part','hash','key','scan'], w))) as storage_hits,
+                         len(list_filter(ws, w -> list_contains(
+                             ['fast','slow','value','line'], w))) as perf_hits
+                  from w)
+            select doc_id,
+                   cast(compute_hits as bigint) as compute_hits,
+                   cast(storage_hits as bigint) as storage_hits,
+                   cast(perf_hits as bigint) as perf_hits,
+                   cast(compute_hits + storage_hits + perf_hits as bigint) as total_hits,
+                   case when compute_hits > 0 and compute_hits >= storage_hits
+                             and compute_hits >= perf_hits then 'compute'
+                        when storage_hits > 0 and storage_hits >= compute_hits
+                             and storage_hits >= perf_hits then 'storage'
+                        when perf_hits > 0 and perf_hits >= compute_hits
+                             and perf_hits >= storage_hits then 'perf'
+                        else 'none' end as top_topic
+            from h
+        """,
+        "cluster_survivors": """
+            with recursive
+            k as (select doc_id, substr(text, 1, 20) as pk, right(text, 20) as sk
+                  from documents),
+            e1 as (select a.doc_id as id_a, b.doc_id as id_b
+                   from k a join k b on a.pk = b.pk and a.doc_id < b.doc_id),
+            e2 as (select a.doc_id as id_a, b.doc_id as id_b
+                   from k a join k b on a.sk = b.sk and a.doc_id < b.doc_id),
+            edges as (select * from e1 union select * from e2),
+            und as (select id_a as a, id_b as b from edges
+                    union select id_b, id_a from edges),
+            reach(node, r) as (
+                select a, a from und
+                union
+                select u.a, reach.r from und u join reach on u.b = reach.node
+            ),
+            clusters as (select node as doc_id, min(r) as rep_doc_id
+                         from reach group by node),
+            m as (select c.doc_id, c.rep_doc_id, d.n_chars
+                  from clusters c join documents d using (doc_id)),
+            best as (select rep_doc_id, max(n_chars) as survivor_score
+                     from m group by 1),
+            surv as (select m.rep_doc_id, min(m.doc_id) as survivor_doc_id
+                     from m join best using (rep_doc_id)
+                     where m.n_chars = best.survivor_score group by 1)
+            select m.doc_id, m.rep_doc_id, surv.survivor_doc_id,
+                   cast(best.survivor_score as bigint) as survivor_score,
+                   m.doc_id <> surv.survivor_doc_id as is_drop
+            from m join best using (rep_doc_id) join surv using (rep_doc_id)
         """,
         "boilerplate_strip": f"""
             with w0 as (select doc_id, string_split({norm}, ' ') as ws from documents),

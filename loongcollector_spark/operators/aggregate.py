@@ -161,3 +161,39 @@ def context_pack(
     pack_id = F.concat(prefix, F.lit("-"), F.upper(F.hex(pack_seq)))
     out = df.withColumn(pack_col, pack_id)
     return out.repartition(F.col(source_col)).sortWithinPartitions(source_col, order_col)
+
+
+def skew_probe(
+    df: DataFrame,
+    key_col: str = "source",
+    top_k: int = 10,
+    target_rows_per_task: int = 1_000_000,
+) -> DataFrame:
+    """Partition-skew diagnostic for a prospective shuffle key — the planning
+    companion to ``salted_repartition``: BEFORE shuffling 100 TB on ``key_col``,
+    measure how hot the hot keys are and how many salt buckets each needs.
+    Rows (top_k, by count desc then key): (key, cnt, share, skew_factor =
+    cnt / mean-key-count, recommended_salts = ceil(cnt / target_rows_per_task),
+    n_rows, n_keys).
+
+    Scale shape: ONE map-side-combined groupBy(key) count; global totals are a
+    1-row aggregate of the (n_keys)-row count table, attached by broadcast
+    cross-join; top-k via orderBy+limit = distributed TakeOrdered. No window,
+    no corpus-wide sort."""
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(F.count(F.lit(1)).alias("cnt"))
+    totals = counts.agg(
+        F.sum("cnt").alias("n_rows"), F.count(F.lit(1)).alias("n_keys")
+    )
+    top = counts.orderBy(F.col("cnt").desc(), "key").limit(top_k)
+    return (
+        top.crossJoin(F.broadcast(totals))
+        .select(
+            "key",
+            "cnt",
+            F.round(F.col("cnt") / F.col("n_rows"), 6).alias("share"),
+            F.round(F.col("cnt") * F.col("n_keys") / F.col("n_rows"), 6).alias("skew_factor"),
+            F.ceil(F.col("cnt") / F.lit(target_rows_per_task)).alias("recommended_salts"),
+            "n_rows",
+            "n_keys",
+        )
+    )

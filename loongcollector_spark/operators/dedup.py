@@ -1145,3 +1145,42 @@ def bloom_membership(
     return batch_df.join(hit, id_col).withColumn(
         out, F.col("_all_hit") == 1
     ).drop("_all_hit")
+
+
+def cluster_survivors(
+    clusters: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "n_chars",
+) -> DataFrame:
+    """Keep-one policy over resolved dup clusters — the step an actual dedup
+    pipeline runs after ``dup_clusters``: per cluster, the survivor is the
+    highest-``score_col`` member (ties: smallest id); every other member is
+    marked ``is_drop``. Rows: (doc_id, rep_doc_id, survivor_doc_id,
+    survivor_score, is_drop).
+
+    Scale shape: two keyed hash aggs on the cluster label + two equi-joins on
+    the label — all partial-aggregated map-side; no window (the classic
+    ``row_number() over (partition by cluster order by score)`` form sorts
+    every cluster; max-then-min-id does not)."""
+    m = clusters.select(id_col, "rep_doc_id").join(
+        docs.select(id_col, score_col), id_col
+    )
+    best = m.groupBy("rep_doc_id").agg(F.max(score_col).alias("survivor_score"))
+    surv = (
+        m.join(best, "rep_doc_id")
+        .filter(F.col(score_col) == F.col("survivor_score"))
+        .groupBy("rep_doc_id")
+        .agg(F.min(id_col).alias("survivor_doc_id"))
+    )
+    return (
+        m.join(best, "rep_doc_id")
+        .join(surv, "rep_doc_id")
+        .select(
+            id_col,
+            "rep_doc_id",
+            "survivor_doc_id",
+            F.col("survivor_score").cast("long").alias("survivor_score"),
+            (F.col(id_col) != F.col("survivor_doc_id")).alias("is_drop"),
+        )
+    )

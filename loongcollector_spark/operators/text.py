@@ -579,3 +579,166 @@ def char_entropy(
             ).alias("entropy"),
         )
     )
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 20,
+    max_words: int = 120,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 10.0,
+    max_punct_word_ratio: float = 0.10,
+    min_alpha_word_frac: float = 0.80,
+    min_stopword_hits: int = 1,
+) -> DataFrame:
+    """Gopher-style document-format rules (Rae et al. 2021 §A1.1) as explicit
+    per-rule booleans — the audit-friendly form of ``quality_score``: a
+    curation run wants to know WHICH rule dropped a document, not just the
+    composite.  Rules: word-count band, mean-word-length band, punctuation
+    symbols per word, fraction of words containing an alphabetic character,
+    and minimum distinct-stopword hits.  Rows: (doc_id, n_words,
+    mean_word_len, r_word_count, r_mean_word_len, r_punct, r_alpha,
+    r_stopword, keep).
+
+    Scale shape: a pure per-row projection — no shuffle, no join, no Python;
+    whole-stage-codegen'd array expressions over the split words."""
+    words = _words(F.col(text_col))
+    n_words = F.size(words)
+    wl_sum = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    mean_wl = F.round(wl_sum / F.greatest(n_words, F.lit(1)).cast("double"), 6)
+    punct = F.length(F.regexp_replace(F.col(text_col), r"[^!-/:-@\[-`{-~]", ""))
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[a-z]")))
+    en_sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    sw_hits = F.size(F.array_intersect(F.array_distinct(words), en_sw))
+    r_wc = (n_words >= min_words) & (n_words <= max_words)
+    r_mwl = (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
+    r_punct = F.round(punct / F.greatest(n_words, F.lit(1)).cast("double"), 6) <= max_punct_word_ratio
+    r_alpha = F.round(alpha_words / F.greatest(n_words, F.lit(1)).cast("double"), 6) >= min_alpha_word_frac
+    r_sw = sw_hits >= min_stopword_hits
+    return df.select(
+        id_col,
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        r_wc.alias("r_word_count"),
+        r_mwl.alias("r_mean_word_len"),
+        r_punct.alias("r_punct"),
+        r_alpha.alias("r_alpha"),
+        r_sw.alias("r_stopword"),
+        (r_wc & r_mwl & r_punct & r_alpha & r_sw).alias("keep"),
+    )
+
+
+# Default taxonomy over bounded keyword lists. For taxonomies of this size a
+# shuffle-free projection beats the explode+broadcast-join form; for 10^5+
+# keyword dictionaries switch to posexplode + broadcast join on word.
+KEYWORD_TAXONOMY: dict[str, list[str]] = {
+    "compute": ["spark", "agg", "sort", "merge", "batch", "window"],
+    "storage": ["table", "row", "part", "hash", "key", "scan"],
+    "perf": ["fast", "slow", "value", "line"],
+}
+
+
+def keyword_tag(
+    df: DataFrame,
+    taxonomy: dict[str, list[str]] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Taxonomy tagging: count keyword OCCURRENCES (not distinct) per topic
+    and pick the winning topic (most hits; ties break on taxonomy declaration
+    order). Rows: (doc_id, <topic>_hits per topic, total_hits, top_topic —
+    'none' when zero hits).
+
+    Scale shape: pure projection — per-topic counts are codegen'd
+    ``size(filter(words, ...))`` over the split array; the argmax is a
+    greatest/when chain. No shuffle, no join, no Python, and the keyword
+    lists live in the plan as literals (nothing to broadcast)."""
+    tax = taxonomy if taxonomy is not None else KEYWORD_TAXONOMY
+    words = _words(F.col(text_col))
+    hit_cols = {}
+    for topic, kws in tax.items():
+        arr = F.array(*[F.lit(k) for k in kws])
+        hit_cols[topic] = F.size(F.filter(words, lambda w: F.array_contains(arr, w)))
+    total = None
+    for c in hit_cols.values():
+        total = c if total is None else total + c
+    best = F.greatest(*hit_cols.values()) if len(hit_cols) > 1 else list(hit_cols.values())[0]
+    top = F.lit("none")
+    for topic in reversed(list(tax)):  # earlier topics win ties -> apply last
+        top = F.when((hit_cols[topic] > 0) & (hit_cols[topic] == best), topic).otherwise(top)
+    return df.select(
+        id_col,
+        *[hit_cols[t].cast("long").alias(f"{t}_hits") for t in tax],
+        total.cast("long").alias("total_hits"),
+        top.alias("top_topic"),
+    )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    top_v: int = 50,
+) -> DataFrame:
+    """Zipf power-law fit over the corpus vocabulary: regress ln(freq) on
+    ln(rank) for the ``top_v`` most frequent words — natural text sits near
+    slope −1; synthetic/templated corpora (like this one) flatten toward 0,
+    making the slope a cheap corpus-health indicator. Rows: one —
+    (n_words_fit, zipf_slope, zipf_r2, top_word, top_cnt).
+
+    Scale shape: one map-side-combined word-count agg → distributed
+    TakeOrdered ``top_v`` (never a corpus-wide sort) → rank window + regr_*
+    aggregates over the ``top_v`` rows only."""
+    toks = df.select(F.explode(_words(F.col(text_col))).alias("word")).filter(
+        F.col("word") != ""
+    )
+    freq = toks.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    top = freq.orderBy(F.col("cnt").desc(), "word").limit(top_v)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("word"))
+    ranked = top.withColumn("rank", F.row_number().over(w))
+    lnr, lnc = F.log(F.col("rank").cast("double")), F.log(F.col("cnt").cast("double"))
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_words_fit"),
+        F.round(F.regr_slope(lnc, lnr), 5).alias("zipf_slope"),
+        F.round(F.regr_r2(lnc, lnr), 5).alias("zipf_r2"),
+        F.min(F.when(F.col("rank") == 1, F.col("word"))).alias("top_word"),
+        F.max(F.when(F.col("rank") == 1, F.col("cnt"))).alias("top_cnt"),
+    )
+
+
+DATASET_CARD_LANGS = ["en", "fr", "es", "de", "zh"]
+
+
+def dataset_card(
+    df: DataFrame,
+    source_col: str = "source",
+    lang_col: str = "lang",
+    text_col: str = "text",
+    langs: list[str] | None = None,
+) -> DataFrame:
+    """Per-source dataset card — the summary table a data curator publishes
+    with a training mix: doc/word/char volumes, length spread, and the
+    language composition as fixed per-lang doc counts (fixed column set =
+    deterministic schema; no argmax tie hazards). Rows: one per source.
+
+    Scale shape: ONE map-side-combined groupBy(source) over per-row
+    projections (word counts via size(split), lang indicator sums) — a
+    100 TB corpus reduces to |sources| rows in a single shuffle."""
+    ls = langs if langs is not None else DATASET_CARD_LANGS
+    n_words = F.size(_words(F.col(text_col)))
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_words).alias("n_words"),
+        F.sum(F.length(text_col)).alias("n_chars"),
+        F.min(n_words).alias("min_words"),
+        F.max(n_words).alias("max_words"),
+        F.round(F.avg(n_words), 6).alias("avg_words"),
+    ]
+    for lang in ls:
+        aggs.append(
+            F.sum(F.when(F.col(lang_col) == lang, 1).otherwise(0)).alias(f"docs_{lang}")
+        )
+    return df.groupBy(F.col(source_col).alias("source")).agg(*aggs)

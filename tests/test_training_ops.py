@@ -949,3 +949,103 @@ def test_char_entropy(spark):
     assert out[1]["entropy"] == 0.0                       # single-char spam
     assert abs(out[2]["entropy"] - math.log(8)) < 1e-5    # uniform over 8 chars
     assert out[2]["n_chars_t"] == 8
+
+
+def test_gopher_rules(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the riverbank today "
+                "while birds sing in trees and wind moves through tall grass slowly"),
+            (2, "word " * 3),                      # too few words
+            (3, "spark table " * 30),              # no stopword from the en list
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in X.gopher_rules(df, min_words=20, max_words=80).collect()}
+    assert out[1]["keep"] is True
+    assert out[2]["r_word_count"] is False and out[2]["keep"] is False
+    assert out[3]["r_word_count"] is True and out[3]["r_stopword"] is False
+    assert out[3]["keep"] is False
+
+
+def test_keyword_tag(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spark spark sort table"),   # compute=3 storage=1
+            (2, "table fast row fast"),      # storage=2 perf=2 -> tie: storage (decl order)
+            (3, "nothing matches here"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in X.keyword_tag(df).collect()}
+    assert out[1]["top_topic"] == "compute" and out[1]["compute_hits"] == 3
+    assert out[2]["top_topic"] == "storage" and out[2]["total_hits"] == 4
+    assert out[3]["top_topic"] == "none" and out[3]["total_hits"] == 0
+
+
+def test_cluster_survivors(spark):
+    from loongcollector_spark.operators.dedup import cluster_survivors
+
+    clusters = spark.createDataFrame(
+        [(10, 10, 3), (11, 10, 3), (12, 10, 3), (20, 20, 2), (21, 20, 2)],
+        "doc_id long, rep_doc_id long, cluster_size int",
+    )
+    docs = spark.createDataFrame(
+        [(10, 100), (11, 250), (12, 250), (20, 40), (21, 40)],
+        "doc_id long, n_chars long",
+    )
+    out = {r["doc_id"]: r for r in cluster_survivors(clusters, docs).collect()}
+    # cluster 10: max n_chars=250 shared by 11,12 -> min id 11 survives
+    assert out[10]["survivor_doc_id"] == 11 and out[10]["is_drop"] is True
+    assert out[11]["is_drop"] is False and out[11]["survivor_score"] == 250
+    assert out[12]["is_drop"] is True
+    # cluster 20: tie on 40 -> min id 20 survives
+    assert out[20]["is_drop"] is False and out[21]["is_drop"] is True
+
+
+def test_skew_probe(spark):
+    from loongcollector_spark.operators.aggregate import skew_probe
+
+    df = spark.createDataFrame(
+        [(i, "hot" if i < 80 else ("warm" if i < 95 else "cold")) for i in range(100)],
+        "doc_id int, source string",
+    )
+    out = {r["key"]: r for r in
+           skew_probe(df, key_col="source", top_k=2, target_rows_per_task=10).collect()}
+    assert set(out) == {"hot", "warm"}          # top-2 only
+    assert out["hot"]["cnt"] == 80 and out["hot"]["share"] == 0.8
+    assert out["hot"]["skew_factor"] == 2.4     # 80 / (100/3 mean)
+    assert out["hot"]["recommended_salts"] == 8
+    assert out["warm"]["recommended_salts"] == 2
+    assert out["hot"]["n_keys"] == 3
+
+
+def test_zipf_fit(spark):
+    import math
+    # freq ~ 1/rank exactly: 8,4,2,1 for 4 words -> slope = -1 on log2... use ln
+    rows = []
+    did = 0
+    for word, n in [("alpha", 8), ("beta", 4), ("gamma", 2), ("delta", 1)]:
+        for _ in range(n):
+            rows.append((did, word)); did += 1
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = X.zipf_fit(df, top_v=4).collect()[0]
+    assert out["n_words_fit"] == 4
+    assert out["top_word"] == "alpha" and out["top_cnt"] == 8
+    # ln(cnt) = ln8 - slope*... perfect power law except rank spacing; the
+    # fit over (ln r, ln c) with c = 8/2^(r-1) is not exactly -1; just sanity:
+    assert -2.0 < out["zipf_slope"] < -0.5
+    assert out["zipf_r2"] > 0.9
+
+
+def test_dataset_card(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c", "en", "s1"), (2, "d e", "fr", "s1"), (3, "f", "en", "s2")],
+        "doc_id int, text string, lang string, source string",
+    )
+    out = {r["source"]: r for r in X.dataset_card(df).collect()}
+    assert out["s1"]["n_docs"] == 2 and out["s1"]["n_words"] == 5
+    assert out["s1"]["docs_en"] == 1 and out["s1"]["docs_fr"] == 1
+    assert out["s1"]["min_words"] == 2 and out["s1"]["max_words"] == 3
+    assert out["s2"]["n_docs"] == 1 and out["s2"]["docs_en"] == 1
+    assert out["s2"]["avg_words"] == 1.0

@@ -180,6 +180,13 @@ def coverage() -> int:
     names = list(entrymod.queries())
     oracles = entrymod.oracle_sql()
     window = set(names[:DRIVER_WINDOW])
+    # window saturation: every in-window slot holds an entry that NEEDS the
+    # upcoming check (never checked, or not green in the latest round)
+    saturated = all(
+        (n not in checked_round) or (green_round.get(n, 0) < latest)
+        for n in names[:DRIVER_WINDOW]
+    )
+    queued: list[str] = []
     n_fail = 0
     for name in names:
         if name in window:
@@ -190,12 +197,23 @@ def coverage() -> int:
             # md5-oracle twins are the driver-checked form (VERDICT r2)
             continue
         if green_round.get(name, 0) < latest:
+            if name not in checked_round and saturated:
+                # brand-new query, and every window slot already holds a
+                # never-checked or stale entry (nothing displaceable): queued
+                # for the next rotation, not a hygiene failure. The round-2
+                # failure class (stale-green padding hogging slots while new
+                # queries wait) is exactly the NON-saturated case below.
+                queued.append(name)
+                continue
             n_fail += 1
             status = (
                 "NEVER checked" if name not in checked_round
                 else f"last green r{green_round.get(name, 0) or '-'}, last checked r{checked_round[name]}"
             )
             print(f"STALE-OUT-OF-WINDOW  {name}: {status} — move into the first {DRIVER_WINDOW} entries")
+    if queued:
+        print(f"queued-new, window saturated ({len(queued)}): {', '.join(queued)} "
+              f"— MUST rotate into the window next round")
     never = [n for n in names if n in window and n not in checked_round]
     if never:
         print(f"in-window, first-ever check upcoming ({len(never)}): {', '.join(never)}")
