@@ -1514,6 +1514,83 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dataset_card(_t(spark, sf_dir, "documents"))
 
 
+def q_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every click event enriched with the user's most recent
+    at-or-before purchase (union + keyed window carry-forward, one shuffle on
+    user_id — never a range join). Oracle = DuckDB's native ASOF LEFT JOIN."""
+    from loongcollector_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    out = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        ts_col="ts",
+        right_cols=["event_id", "value"],
+        suffix="_p",
+        right_order_col="event_id",
+    )
+    return out.select(
+        "event_id",
+        "ts",
+        "user_id",
+        F.col("value").alias("click_value"),
+        F.col("ts_p").alias("purchase_ts"),
+        F.col("event_id_p").alias("purchase_event_id"),
+        F.col("value_p").alias("purchase_value"),
+        F.round(
+            F.col("ts").cast("timestamp").cast("double")
+            - F.col("ts_p").cast("timestamp").cast("double"),
+            6,
+        ).alias("lag_sec"),
+    )
+
+
+def q_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-HLL (p=4, m=16): distinct users per event type, with
+    the exact count alongside; the harmonic sum stays in exact scaled-integer
+    form so Spark and DuckDB agree bit-for-bit."""
+    from loongcollector_spark.operators.sketch import hll_distinct
+
+    return hll_distinct(
+        _t(spark, sf_dir, "events"), F.col("user_id"), ["event_type"], p=4
+    )
+
+
+def q_rollup_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup over (source, lang) with char-volume measures: one
+    Expand+HashAggregate pass, not a scan per level."""
+    from loongcollector_spark.operators.aggregate import rollup_counts
+
+    return rollup_counts(
+        _t(spark, sf_dir, "documents"), ["source", "lang"], measure_col="n_chars"
+    )
+
+
+def q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-word-count filter sweep: kept docs/words per candidate threshold
+    from ONE corpus scan (broadcast threshold table + conditional agg)."""
+    from loongcollector_spark.operators.text import threshold_sweep
+
+    return threshold_sweep(
+        _t(spark, sf_dir, "documents"), thresholds=[0, 20, 40, 60, 80, 100]
+    )
+
+
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang fixed-width word-count histogram (explicit bounds — no min/max
+    pre-scan): one projection + one map-combined groupBy."""
+    from loongcollector_spark.operators.text import length_histogram
+
+    return length_histogram(
+        _t(spark, sf_dir, "documents"), lo=0, hi=100, n_bins=10, group_col="lang"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry. ORDER MATTERS: the driver's correctness gate reads only
     the FIRST 50 entries (both CORRECTNESS_r01/r02 files contain exactly 50
@@ -1616,6 +1693,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_probe": q_skew_probe,
         "zipf_fit": q_zipf_fit,
         "dataset_card": q_dataset_card,
+        "asof_enrich": q_asof_enrich,
+        "hll_users": q_hll_users,
+        "rollup_sources": q_rollup_sources,
+        "threshold_sweep": q_threshold_sweep,
+        "length_histogram": q_length_histogram,
         # cloud_meta: r02-green untouched — displaced by gopher_rules
         "cloud_meta": q_cloud_meta,
         # ---- r02-green, untouched; r04 rotation candidates ----
@@ -1712,6 +1794,11 @@ def oracle_sql() -> dict[str, str]:
     grok_anch = "^" + grok_rx + "$"
     sw = {lang: "[" + ", ".join(f"'{w}'" for w in ws) + "]" for lang, ws in STOPWORDS.items()}
     norm = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+    # hll_users: EXACT same float literal the Spark plan embeds (sketch.py
+    # builds alpha * m^2 * 2^s in Python too, so repr round-trips identically)
+    from loongcollector_spark.operators.sketch import _alpha as _hll_alpha
+
+    _hll_a16 = _hll_alpha(16) * 16 * 16 * float(1 << 57)
     words = r"string_split_regex(trim(lower(text)), '\s+')"
     training = {
         "dedup_exact_norm": f"""
@@ -2154,6 +2241,89 @@ def oracle_sql() -> dict[str, str]:
                    cast(best.survivor_score as bigint) as survivor_score,
                    m.doc_id <> surv.survivor_doc_id as is_drop
             from m join best using (rep_doc_id) join surv using (rep_doc_id)
+        """,
+        "asof_enrich": """
+            select l.event_id, l.ts, l.user_id,
+                   l.value as click_value,
+                   r.ts as purchase_ts,
+                   r.event_id as purchase_event_id,
+                   r.value as purchase_value,
+                   round((epoch_us(l.ts) - epoch_us(r.ts)) / 1000000.0, 6) as lag_sec
+            from (select * from events where event_type = 'click') l
+            asof left join (select * from events where event_type = 'purchase') r
+              on l.user_id = r.user_id and l.ts >= r.ts
+        """,
+        "hll_users": f"""
+            with h as (select event_type,
+                              ('0x' || substr(md5(cast(user_id as varchar)), 1, 15))::bigint as hv,
+                              cast(user_id as varchar) as item
+                       from events),
+            r as (select event_type, hv & 15 as bucket,
+                         case when (hv >> 4) > 0
+                              then 56 - length(bin(hv >> 4)) + 1 else 57 end as rho,
+                         item from h),
+            regs as (select event_type, bucket, max(rho) as max_rho,
+                            count(distinct item) as n_exact_b
+                     from r group by 1, 2),
+            summed as (select event_type,
+                              sum((1::bigint) << (57 - max_rho)) as z_nonzero,
+                              count(*) as nonzero_buckets,
+                              sum(n_exact_b) as n_exact
+                       from regs group by 1),
+            fin as (select event_type, n_exact, nonzero_buckets,
+                           z_nonzero + (16 - nonzero_buckets) * ((1::bigint) << 57) as z,
+                           16 - nonzero_buckets as zeros
+                    from summed),
+            est as (select *, {_hll_a16!r} / cast(z as double) as raw from fin),
+            fin2 as (select *,
+                            case when raw <= 40.0 and zeros > 0
+                                 then 16.0 * ln(16.0 / cast(zeros as double))
+                                 else raw end as e
+                     from est)
+            select event_type,
+                   cast(n_exact as bigint) as n_exact,
+                   round(e, 2) as n_est,
+                   round(abs(e - n_exact) / n_exact, 4) as rel_err,
+                   cast(16 as int) as m,
+                   cast(nonzero_buckets as bigint) as nonzero_buckets,
+                   cast(z as bigint) as z_scaled
+            from fin2
+        """,
+        "rollup_sources": """
+            select coalesce(cast(source as varchar), '(all)') as source,
+                   coalesce(cast(lang as varchar), '(all)') as lang,
+                   cast(grouping(source, lang) as bigint) as gid,
+                   count(*) as n_rows,
+                   cast(sum(n_chars) as bigint) as sum_n_chars,
+                   round(avg(n_chars), 6) as avg_n_chars
+            from documents group by rollup(source, lang)
+        """,
+        "threshold_sweep": f"""
+            with pd as (select len(string_split({norm}, ' ')) as nw from documents),
+            j as (select nw, t.threshold from pd
+                  cross join (values (0), (20), (40), (60), (80), (100)) t(threshold))
+            select threshold,
+                   cast(sum(case when nw >= threshold then 1 else 0 end) as bigint) as kept_docs,
+                   cast(sum(case when nw >= threshold then nw else 0 end) as bigint) as kept_words,
+                   cast(count(*) as bigint) as total_docs,
+                   round(sum(case when nw >= threshold then 1 else 0 end)
+                         / cast(count(*) as double), 6) as doc_frac,
+                   round(sum(case when nw >= threshold then nw else 0 end)
+                         / cast(sum(nw) as double), 6) as word_frac
+            from j group by threshold
+        """,
+        "length_histogram": f"""
+            with pd as (select lang, len(string_split({norm}, ' ')) as nw
+                        from documents),
+            b as (select lang, nw,
+                         least(greatest(cast(floor((nw - 0) / 10.0) as int), 0), 9) as bin
+                  from pd)
+            select lang, bin,
+                   round(0 + bin * 10.0, 6) as bin_lo,
+                   round(0 + (bin + 1) * 10.0, 6) as bin_hi,
+                   count(*) as n_docs,
+                   cast(sum(nw) as bigint) as n_words
+            from b group by lang, bin
         """,
         "boilerplate_strip": f"""
             with w0 as (select doc_id, string_split({norm}, ' ') as ws from documents),

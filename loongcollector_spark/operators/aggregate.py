@@ -197,3 +197,35 @@ def skew_probe(
             "n_keys",
         )
     )
+
+
+def rollup_counts(
+    df: DataFrame,
+    dims: list[str],
+    measure: DataFrame | None = None,
+    measure_col: str | None = None,
+    all_label: str = "(all)",
+) -> DataFrame:
+    """Multi-dimensional rollup — the hypertable-style hierarchical aggregate
+    (totals at every prefix of ``dims``) the reference's aggregators compute
+    level-by-level; here it is ONE ``ROLLUP`` pass Catalyst expands with a
+    single Expand+HashAggregate, not |dims|+1 separate scans.  Rows: one per
+    (prefix level × group): every dim coalesced to ``all_label`` where
+    aggregated, ``gid`` = grouping bitmask (Spark ``grouping_id`` == DuckDB
+    ``GROUPING``), n_rows, and sum/avg of ``measure_col`` when given.
+
+    Scale shape: Expand multiplies input by |dims|+1 BEFORE the shuffle, but
+    partial aggregation collapses each level map-side, so the shuffle carries
+    only |groups| rows per level — the standard cube/rollup trade, far cheaper
+    than re-scanning 100 TB once per level."""
+    src = measure if measure is not None else df
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    if measure_col is not None:
+        aggs.append(F.sum(measure_col).cast("long").alias(f"sum_{measure_col}"))
+        aggs.append(F.round(F.avg(measure_col), 6).alias(f"avg_{measure_col}"))
+    rolled = src.rollup(*dims).agg(F.grouping_id().alias("gid"), *aggs)
+    return rolled.select(
+        *[F.coalesce(F.col(d).cast("string"), F.lit(all_label)).alias(d) for d in dims],
+        F.col("gid").cast("long").alias("gid"),
+        *[c for c in rolled.columns if c not in dims and c != "gid"],
+    )

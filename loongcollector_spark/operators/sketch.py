@@ -1,0 +1,103 @@
+"""Deterministic distinct-count sketches (HyperLogLog), oracle-replayable.
+
+Engine-native HLLs (Spark ``approx_count_distinct``, DuckDB ``approx_*``) use
+different hash functions and register layouts, so their estimates can never be
+compared across engines — useless for a correctness gate.  This HLL is built
+from first principles (Flajolet et al. 2007) on the repo's standard md5→60-bit
+hash so Spark and DuckDB produce BIT-IDENTICAL registers and estimates:
+
+* hash: ``conv(substr(md5(item), 1, 15), 16, 10)`` → uniform 60-bit bigint —
+  the same construction every md5-oracle twin in this repo uses;
+* bucket = ``h & (m-1)``, word ``w = h >> p`` (60-p bits);
+* rho (leading-zero rank) computed EXACTLY via binary-string length —
+  ``(60-p) - length(bin(w)) + 1`` — no float log2 anywhere;
+* the harmonic sum is kept in SCALED INTEGER form: each register contributes
+  ``2^(S - rho)`` (S = 60-p+1 = max rho) as a bigint, so the sum is exact and
+  order-independent — float summation order across engines can never flip a
+  hash bit;
+* the only float ops are one multiply + one divide at the very end (IEEE
+  deterministic), plus ``ln`` in the standard small-range linear-counting
+  correction; the estimate is rounded to 2 decimals.
+
+Scale shape: groupBy(group, bucket) max → groupBy(group) sum — two map-side-
+combined hash aggregations; register space is m rows per group regardless of
+corpus size.  The exact count (emitted alongside for audit) is the only
+count-distinct; drop it at true scale and the sketch is sub-linear.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _alpha(m: int) -> float:
+    """Standard HLL bias constant."""
+    if m <= 16:
+        return 0.673
+    if m <= 32:
+        return 0.697
+    if m <= 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_distinct(
+    df: DataFrame,
+    item: Column,
+    group_cols: list[str],
+    p: int = 6,
+) -> DataFrame:
+    """Per-group HLL distinct estimate with ``m = 2**p`` registers.  Rows:
+    (*group_cols, n_exact, n_est, rel_err, m, nonzero_buckets, z_scaled).
+    ``z_scaled`` is the exact integer harmonic sum — the value the hash check
+    really rides on; ``n_est`` derives from it with two float ops."""
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4,16], got {p}")
+    m = 1 << p
+    bits = 60 - p
+    s = bits + 1  # max rho; scaling exponent keeps every term >= 1
+    h = F.conv(F.substring(F.md5(item.cast("string").cast("binary")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    w = F.shiftright(h, p)
+    rho = F.when(w > 0, F.lit(bits) - F.length(F.bin(w)) + 1).otherwise(F.lit(s))
+    hashed = df.select(
+        *group_cols,
+        h.bitwiseAND(F.lit(m - 1)).alias("bucket"),
+        rho.alias("rho"),
+        item.cast("string").alias("_item"),
+    )
+    regs = hashed.groupBy(*group_cols, "bucket").agg(
+        F.max("rho").alias("max_rho"),
+        # countDistinct here is per-bucket exact; summed below it equals the
+        # group's exact distinct because buckets partition the hash space.
+        F.countDistinct("_item").alias("n_exact_b"),
+    )
+    # Exact integer harmonic sum: non-empty buckets contribute 2^(s - max_rho),
+    # the (m - nonzero) empty buckets contribute 2^s each.
+    summed = regs.groupBy(*group_cols).agg(
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {s} - max_rho)")).alias("z_nonzero"),
+        F.count(F.lit(1)).alias("nonzero_buckets"),
+        F.sum("n_exact_b").alias("n_exact"),
+    )
+    z = (
+        F.col("z_nonzero")
+        + (F.lit(m) - F.col("nonzero_buckets")) * F.lit(1 << s)
+    )
+    raw = F.lit(_alpha(m) * m * m * float(1 << s)) / z.cast("double")
+    zeros = F.lit(m) - F.col("nonzero_buckets")
+    est = F.when(
+        (raw <= 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(raw)
+    out = summed.withColumn("z_scaled", z)
+    return out.select(
+        *group_cols,
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.round(est, 2).alias("n_est"),
+        F.round(F.abs(est - F.col("n_exact")) / F.col("n_exact"), 4).alias("rel_err"),
+        F.lit(m).alias("m"),
+        F.col("nonzero_buckets").cast("long").alias("nonzero_buckets"),
+        F.col("z_scaled").cast("long").alias("z_scaled"),
+    )

@@ -742,3 +742,84 @@ def dataset_card(
             F.sum(F.when(F.col(lang_col) == lang, 1).otherwise(0)).alias(f"docs_{lang}")
         )
     return df.groupBy(F.col(source_col).alias("source")).agg(*aggs)
+
+
+def threshold_sweep(
+    df: DataFrame,
+    thresholds: list[int],
+    text_col: str = "text",
+) -> DataFrame:
+    """Curation-planning sweep: for each candidate minimum-word-count
+    threshold, how many documents and words survive?  The table a curator
+    reads before committing a filter to a 100 TB run — pick the knee of the
+    kept-tokens curve instead of guessing.  Rows: one per threshold —
+    (threshold, kept_docs, kept_words, total_docs, doc_frac, word_frac).
+
+    Scale shape: per-doc word counts are ONE projection pass; the |T|-row
+    threshold table broadcast-cross-joins onto it and a map-side-combined
+    groupBy(threshold) reduces N×|T| to |T| rows — the corpus is scanned
+    once, never once-per-threshold."""
+    spark = df.sparkSession
+    thr = spark.createDataFrame([(int(t),) for t in thresholds], "threshold int")
+    per_doc = df.select(F.size(_words(F.col(text_col))).alias("nw"))
+    joined = per_doc.crossJoin(F.broadcast(thr))
+    keep = F.col("nw") >= F.col("threshold")
+    return (
+        joined.groupBy("threshold")
+        .agg(
+            F.sum(keep.cast("long")).alias("kept_docs"),
+            F.sum(F.when(keep, F.col("nw")).otherwise(0)).cast("long").alias("kept_words"),
+            F.count(F.lit(1)).alias("total_docs"),
+            F.sum("nw").cast("long").alias("total_words"),
+        )
+        .select(
+            "threshold",
+            "kept_docs",
+            "kept_words",
+            "total_docs",
+            F.round(F.col("kept_docs") / F.col("total_docs"), 6).alias("doc_frac"),
+            F.round(F.col("kept_words") / F.col("total_words"), 6).alias("word_frac"),
+        )
+    )
+
+
+def length_histogram(
+    df: DataFrame,
+    lo: int,
+    hi: int,
+    n_bins: int = 10,
+    text_col: str = "text",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Fixed-width word-count histogram — the length-distribution panel on a
+    dataset card.  Bounds are EXPLICIT (no min/max pre-pass: at 100 TB a
+    bounds scan doubles the job; curators know their clip range).  Values
+    below ``lo`` clamp into bin 0, at-or-above ``hi`` into bin ``n_bins-1``.
+    Rows: ([group], bin, bin_lo, bin_hi, n_docs, n_words) — only non-empty
+    bins (a 0-fill is a |bins|-row driver-side concern, not a corpus scan).
+
+    Scale shape: one projection (integer bin arithmetic, no floats — bin
+    edges are exact for integer widths) + one map-side-combined groupBy."""
+    if hi <= lo or n_bins < 1:
+        raise ValueError("need hi > lo and n_bins >= 1")
+    width = (hi - lo) / n_bins
+    nw = F.size(_words(F.col(text_col)))
+    raw_bin = F.floor((nw - F.lit(lo)) / F.lit(width)).cast("int")
+    bin_ = F.least(F.greatest(raw_bin, F.lit(0)), F.lit(n_bins - 1))
+    keys = ([F.col(group_col)] if group_col else []) + [bin_.alias("bin")]
+    out = (
+        df.select(*keys, nw.alias("nw"))
+        .groupBy(*([group_col] if group_col else []), "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nw").cast("long").alias("n_words"),
+        )
+    )
+    return out.select(
+        *([group_col] if group_col else []),
+        "bin",
+        F.round(F.lit(lo) + F.col("bin") * F.lit(width), 6).alias("bin_lo"),
+        F.round(F.lit(lo) + (F.col("bin") + 1) * F.lit(width), 6).alias("bin_hi"),
+        "n_docs",
+        "n_words",
+    )

@@ -1049,3 +1049,135 @@ def test_dataset_card(spark):
     assert out["s1"]["min_words"] == 2 and out["s1"]["max_words"] == 3
     assert out["s2"]["n_docs"] == 1 and out["s2"]["docs_en"] == 1
     assert out["s2"]["avg_words"] == 1.0
+
+
+# ---------------------------------------------------------------- asof join
+
+
+def test_asof_join(spark):
+    from datetime import datetime as dt
+
+    from loongcollector_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [
+            (1, dt(2024, 1, 1, 10, 0, 0), 100),
+            (2, dt(2024, 1, 1, 12, 0, 0), 100),
+            (3, dt(2024, 1, 1, 9, 0, 0), 200),   # before any right row
+            (4, dt(2024, 1, 1, 11, 0, 0), 300),  # exact-ts tie with right
+        ],
+        "event_id int, ts timestamp, user_id int",
+    )
+    right = spark.createDataFrame(
+        [
+            (91, dt(2024, 1, 1, 9, 30, 0), 100, 1.0),
+            (92, dt(2024, 1, 1, 11, 0, 0), 100, 2.0),
+            (93, dt(2024, 1, 1, 11, 0, 0), 300, 3.0),   # equal to left id=4
+            (94, dt(2024, 1, 1, 11, 0, 0), 300, 4.0),   # same-ts dup: max event_id wins
+        ],
+        "event_id int, ts timestamp, user_id int, value double",
+    )
+    out = {
+        r["event_id"]: r
+        for r in asof_join(
+            left, right, on="user_id", ts_col="ts",
+            right_cols=["event_id", "value"], suffix="_p",
+            right_order_col="event_id",
+        ).collect()
+    }
+    assert len(out) == 4
+    assert out[1]["event_id_p"] == 91 and out[1]["value_p"] == 1.0
+    assert out[2]["event_id_p"] == 92            # latest at-or-before 12:00
+    assert out[3]["event_id_p"] is None          # no prior purchase
+    assert out[4]["event_id_p"] == 94            # at-or-before includes equal ts; tie → max order col
+
+
+def test_asof_join_tolerance(spark):
+    from datetime import datetime as dt
+
+    from loongcollector_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, dt(2024, 1, 1, 10, 0, 0), 7)], "event_id int, ts timestamp, user_id int"
+    )
+    right = spark.createDataFrame(
+        [(9, dt(2024, 1, 1, 8, 0, 0), 7, 5.0)],
+        "event_id int, ts timestamp, user_id int, value double",
+    )
+    hit = asof_join(left, right, on="user_id", ts_col="ts",
+                    right_cols=["value"], tolerance_sec=3 * 3600).collect()[0]
+    miss = asof_join(left, right, on="user_id", ts_col="ts",
+                     right_cols=["value"], tolerance_sec=3600).collect()[0]
+    assert hit["value_r"] == 5.0 and miss["value_r"] is None
+
+
+# ------------------------------------------------------------------- sketch
+
+
+def test_hll_distinct(spark):
+    from loongcollector_spark.operators.sketch import hll_distinct
+
+    rows = [(f"g{i % 2}", i % 50) for i in range(1000)]  # g0/g1, 25 distinct each
+    df = spark.createDataFrame(rows, "grp string, item int")
+    out = {r["grp"]: r for r in
+           hll_distinct(df, F.col("item"), ["grp"], p=6).collect()}
+    for g in ("g0", "g1"):
+        assert out[g]["n_exact"] == 25
+        # HLL with m=64 on 25 items: linear-counting regime, tight estimate
+        assert abs(out[g]["n_est"] - 25) / 25 < 0.35
+        assert out[g]["nonzero_buckets"] <= 25
+        assert out[g]["z_scaled"] > 0
+
+
+def test_hll_determinism(spark):
+    from loongcollector_spark.operators.sketch import hll_distinct
+
+    df = spark.createDataFrame([(1, i) for i in range(200)], "grp int, item int")
+    a = hll_distinct(df, F.col("item"), ["grp"], p=4).collect()[0]
+    b = hll_distinct(df.repartition(7), F.col("item"), ["grp"], p=4).collect()[0]
+    assert a["n_est"] == b["n_est"] and a["z_scaled"] == b["z_scaled"]
+
+
+# ------------------------------------------------------------------- rollup
+
+
+def test_rollup_counts(spark):
+    from loongcollector_spark.operators.aggregate import rollup_counts
+
+    df = spark.createDataFrame(
+        [("a", "en", 10), ("a", "fr", 20), ("b", "en", 30)],
+        "source string, lang string, n_chars int",
+    )
+    rows = {(r["source"], r["lang"]): r
+            for r in rollup_counts(df, ["source", "lang"], measure_col="n_chars").collect()}
+    assert rows[("(all)", "(all)")]["n_rows"] == 3
+    assert rows[("(all)", "(all)")]["gid"] == 3
+    assert rows[("a", "(all)")]["sum_n_chars"] == 30 and rows[("a", "(all)")]["gid"] == 1
+    assert rows[("a", "en")]["n_rows"] == 1 and rows[("a", "en")]["gid"] == 0
+    assert len(rows) == 1 + 2 + 3  # grand total + 2 sources + 3 leaf groups
+
+
+# ---------------------------------------------------------------- thresholds
+
+
+def test_threshold_sweep(docs):
+    out = {r["threshold"]: r for r in X.threshold_sweep(docs, [0, 9, 100]).collect()}
+    assert out[0]["kept_docs"] == 6 and out[0]["doc_frac"] == 1.0
+    assert out[100]["kept_docs"] == 0 and out[100]["kept_words"] == 0
+    assert 0 < out[9]["kept_docs"] <= 6
+    assert out[9]["total_docs"] == 6
+
+
+def test_length_histogram(docs):
+    out = {r["bin"]: r for r in X.length_histogram(docs, lo=0, hi=20, n_bins=4).collect()}
+    # docs have 9-11 words → bins 1 (5-10) and 2 (10-15) only
+    assert set(out) <= {1, 2} and sum(r["n_docs"] for r in out.values()) == 6
+    assert out[2]["bin_lo"] == 10.0 and out[2]["bin_hi"] == 15.0
+
+
+def test_length_histogram_clamps(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, " ".join(["w"] * 500))], "doc_id int, text string"
+    )
+    out = {r["bin"]: r for r in X.length_histogram(df, lo=10, hi=20, n_bins=2).collect()}
+    assert out[0]["n_docs"] == 1 and out[1]["n_docs"] == 1  # below-lo → 0, above-hi → last
