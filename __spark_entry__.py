@@ -1591,6 +1591,18 @@ def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_percentile_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type value percentile panel (exact type-7 interpolation ==
+    DuckDB quantile_cont): the SLO table a log pipeline's stats verb ends in.
+    Exact here because test-scale groups are small; the operator's
+    exact=False switches to the KLL-sketch approx_percentile for 100 TB."""
+    from loongcollector_spark.operators.aggregate import percentile_panel
+
+    return percentile_panel(
+        _t(spark, sf_dir, "events"), "value", ["event_type"], ps=(0.5, 0.9, 0.99)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry. ORDER MATTERS: the driver's correctness gate reads only
     the FIRST 50 entries (both CORRECTNESS_r01/r02 files contain exactly 50
@@ -1694,6 +1706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_fit": q_zipf_fit,
         "dataset_card": q_dataset_card,
         "asof_enrich": q_asof_enrich,
+        "percentile_panel": q_percentile_panel,
         "hll_users": q_hll_users,
         "rollup_sources": q_rollup_sources,
         "threshold_sweep": q_threshold_sweep,
@@ -2252,6 +2265,16 @@ def oracle_sql() -> dict[str, str]:
             from (select * from events where event_type = 'click') l
             asof left join (select * from events where event_type = 'purchase') r
               on l.user_id = r.user_id and l.ts >= r.ts
+        """,
+        "percentile_panel": """
+            select event_type,
+                   count(value) as n,
+                   round(min(value), 6) as min_v,
+                   round(max(value), 6) as max_v,
+                   round(quantile_cont(value, 0.5), 6) as p50,
+                   round(quantile_cont(value, 0.9), 6) as p90,
+                   round(quantile_cont(value, 0.99), 6) as p99
+            from events group by event_type
         """,
         "hll_users": f"""
             with h as (select event_type,

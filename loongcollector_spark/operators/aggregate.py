@@ -229,3 +229,45 @@ def rollup_counts(
         F.col("gid").cast("long").alias("gid"),
         *[c for c in rolled.columns if c not in dims and c != "gid"],
     )
+
+
+def percentile_panel(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    ps: tuple[float, ...] = (0.5, 0.9, 0.99),
+    exact: bool = True,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Per-group latency/value percentile panel — the SLO table every log
+    pipeline ends in (reference analog: the SPL ``stats`` verb's percentile
+    aggregates over parsed latency fields).  Rows: one per group —
+    (group..., n, min_v, max_v, p50, p90, p99...), percentiles linearly
+    interpolated (type-7, what DuckDB ``quantile_cont`` computes), nulls
+    ignored, round-6.
+
+    Scale shape: ``exact=True`` uses Spark's exact ``percentile`` — a
+    sort-based aggregate that buffers each group's values, fine when groups
+    are few and bounded (dashboards group by route/event_type: dozens of
+    groups × millions of rows is one shuffle of pre-combined partials, but
+    the per-group value SET still materializes on the reducer).  At 100 TB
+    with huge groups set ``exact=False``: ``approx_percentile`` keeps a
+    bounded KLL-style sketch per group map-side — constant memory, one
+    shuffle of sketches, rank error ≤ 1/accuracy — the only honest choice
+    when one group holds 10^11 values (then there is no cheap oracle; the
+    exact form IS the oracle at test scale)."""
+    v = F.col(value_col)
+    aggs = [
+        F.count(v).alias("n"),
+        F.round(F.min(v), 6).alias("min_v"),
+        F.round(F.max(v), 6).alias("max_v"),
+    ]
+    for p in ps:
+        name = f"p{p * 100:g}".replace(".", "_")
+        pct = (
+            F.percentile(v, F.lit(float(p)))
+            if exact
+            else F.approx_percentile(v, F.lit(float(p)), F.lit(accuracy))
+        )
+        aggs.append(F.round(pct, 6).alias(name))
+    return df.groupBy(*group_cols).agg(*aggs)

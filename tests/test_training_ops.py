@@ -1181,3 +1181,37 @@ def test_length_histogram_clamps(spark):
     )
     out = {r["bin"]: r for r in X.length_histogram(df, lo=10, hi=20, n_bins=2).collect()}
     assert out[0]["n_docs"] == 1 and out[1]["n_docs"] == 1  # below-lo → 0, above-hi → last
+
+
+def test_percentile_panel_exact(spark):
+    from loongcollector_spark.operators.aggregate import percentile_panel
+
+    # 1..5: type-7 p50 = 3.0, p90 = (n-1)*0.9 = 3.6 -> 4 + 0.6*(5-4) = 4.6
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in (1, 2, 3, 4, 5)] + [("b", 10.0), ("b", None)],
+        "grp string, value double",
+    )
+    rows = {
+        r["grp"]: r
+        for r in percentile_panel(df, "value", ["grp"], ps=(0.5, 0.9)).collect()
+    }
+    a, b = rows["a"], rows["b"]
+    assert (a["n"], a["min_v"], a["max_v"]) == (5, 1.0, 5.0)
+    assert (a["p50"], a["p90"]) == (3.0, 4.6)
+    assert (b["n"], b["p50"]) == (1, 10.0)  # nulls ignored
+
+
+def test_percentile_panel_approx_plan(spark):
+    from loongcollector_spark.operators.aggregate import percentile_panel
+
+    df = spark.range(1000).select(
+        (F.col("id") % 4).cast("string").alias("grp"),
+        F.col("id").cast("double").alias("value"),
+    )
+    out = percentile_panel(df, "value", ["grp"], ps=(0.5,), exact=False)
+    # sketch aggregate, not a sort-based exact percentile
+    assert "approx_percentile" in out._jdf.queryExecution().analyzed().toString()
+    med = {r["grp"]: r["p50"] for r in out.collect()}
+    for g, v in med.items():
+        true_med = float(int(g)) + 4 * 124.5  # ids g, g+4, ..., g+996
+        assert abs(v - true_med) <= 8.0
