@@ -1603,6 +1603,16 @@ def q_percentile_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly metrics downsample per event type (calendar-field date_trunc —
+    timezone-free, identical bucketing in Spark and DuckDB over NTZ)."""
+    from loongcollector_spark.operators.aggregate import time_rollup
+
+    return time_rollup(
+        _t(spark, sf_dir, "events"), "ts", ["event_type"], value_col="value", every="hour"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry. ORDER MATTERS: the driver's correctness gate reads only
     the FIRST 50 entries (both CORRECTNESS_r01/r02 files contain exactly 50
@@ -1707,6 +1717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_card": q_dataset_card,
         "asof_enrich": q_asof_enrich,
         "percentile_panel": q_percentile_panel,
+        "time_rollup": q_time_rollup,
         "hll_users": q_hll_users,
         "rollup_sources": q_rollup_sources,
         "threshold_sweep": q_threshold_sweep,
@@ -2265,6 +2276,16 @@ def oracle_sql() -> dict[str, str]:
             from (select * from events where event_type = 'click') l
             asof left join (select * from events where event_type = 'purchase') r
               on l.user_id = r.user_id and l.ts >= r.ts
+        """,
+        "time_rollup": """
+            select date_trunc('hour', ts) as bucket,
+                   event_type,
+                   count(*) as n_rows,
+                   round(sum(value), 6) as sum_v,
+                   round(avg(value), 6) as avg_v,
+                   round(min(value), 6) as min_v,
+                   round(max(value), 6) as max_v
+            from events group by 1, 2
         """,
         "percentile_panel": """
             select event_type,

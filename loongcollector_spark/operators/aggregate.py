@@ -271,3 +271,36 @@ def percentile_panel(
         )
         aggs.append(F.round(pct, 6).alias(name))
     return df.groupBy(*group_cols).agg(*aggs)
+
+
+def time_rollup(
+    df: DataFrame,
+    ts_col: str,
+    group_cols: list[str],
+    value_col: str | None = None,
+    every: str = "hour",
+) -> DataFrame:
+    """Time-bucketed downsample — the metrics-rollup stage after
+    ``log_to_sls_metric`` (reference analog: SLS metric aggregation windows):
+    truncate ``ts_col`` to a named granularity and aggregate per (bucket,
+    group).  ``date_trunc`` operates on the timestamp's OWN calendar fields,
+    so NTZ inputs bucket identically everywhere — no session-timezone
+    dependence (an epoch-division bucketing would shift with the JVM tz).
+    Rows: (bucket, group..., n_rows [, sum/avg/min/max of value_col]).
+
+    Scale shape: one projection + one map-side-combined hash aggregate; the
+    shuffle carries only |buckets × groups| pre-combined rows.  Bucket count
+    grows with time span, not data volume, so the reducer side stays small
+    even at 10^12 input rows; partition pruning still reaches the scan when
+    the source is partitioned by date because date_trunc is applied after."""
+    bucket = F.date_trunc(every, F.col(ts_col)).alias("bucket")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    if value_col is not None:
+        v = F.col(value_col)
+        aggs += [
+            F.round(F.sum(v), 6).alias("sum_v"),
+            F.round(F.avg(v), 6).alias("avg_v"),
+            F.round(F.min(v), 6).alias("min_v"),
+            F.round(F.max(v), 6).alias("max_v"),
+        ]
+    return df.groupBy(bucket, *group_cols).agg(*aggs)

@@ -1215,3 +1215,27 @@ def test_percentile_panel_approx_plan(spark):
     for g, v in med.items():
         true_med = float(int(g)) + 4 * 124.5  # ids g, g+4, ..., g+996
         assert abs(v - true_med) <= 8.0
+
+
+def test_time_rollup_hourly(spark):
+    from datetime import datetime as dt
+
+    from loongcollector_spark.operators.aggregate import time_rollup
+
+    rows = [
+        (dt(2024, 3, 1, 10, 5), "a", 1.0),
+        (dt(2024, 3, 1, 10, 59), "a", 3.0),
+        (dt(2024, 3, 1, 11, 0), "a", 5.0),   # next bucket boundary
+        (dt(2024, 3, 1, 10, 30), "b", 7.0),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp_ntz, event_type string, value double")
+    out = {
+        (r["bucket"].isoformat(), r["event_type"]): r
+        for r in time_rollup(df, "ts", ["event_type"], value_col="value").collect()
+    }
+    a10 = out[("2024-03-01T10:00:00", "a")]
+    assert (a10["n_rows"], a10["sum_v"], a10["avg_v"], a10["min_v"], a10["max_v"]) == (
+        2, 4.0, 2.0, 1.0, 3.0,
+    )
+    assert out[("2024-03-01T11:00:00", "a")]["n_rows"] == 1
+    assert out[("2024-03-01T10:00:00", "b")]["sum_v"] == 7.0
