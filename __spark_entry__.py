@@ -1591,6 +1591,37 @@ def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness tolerance: purchases older than 1h are
+    nulled out (pandas merge_asof semantics) — gate-covers the tolerance
+    branch of operators/asof.py, which is otherwise pytest-only."""
+    from loongcollector_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    out = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        ts_col="ts",
+        right_cols=["event_id", "value"],
+        suffix="_p",
+        right_order_col="event_id",
+        tolerance_sec=3600.0,
+    )
+    return out.select(
+        "event_id",
+        "ts",
+        "user_id",
+        F.col("ts_p").alias("purchase_ts"),
+        F.col("event_id_p").alias("purchase_event_id"),
+        F.col("value_p").alias("purchase_value"),
+    )
+
+
 def q_percentile_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type value percentile panel (exact type-7 interpolation ==
     DuckDB quantile_cont): the SLO table a log pipeline's stats verb ends in.
@@ -1716,6 +1747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_fit": q_zipf_fit,
         "dataset_card": q_dataset_card,
         "asof_enrich": q_asof_enrich,
+        "asof_tolerance": q_asof_tolerance,
         "percentile_panel": q_percentile_panel,
         "time_rollup": q_time_rollup,
         "hll_users": q_hll_users,
@@ -2276,6 +2308,21 @@ def oracle_sql() -> dict[str, str]:
             from (select * from events where event_type = 'click') l
             asof left join (select * from events where event_type = 'purchase') r
               on l.user_id = r.user_id and l.ts >= r.ts
+        """,
+        "asof_tolerance": """
+            with j as (
+                select l.event_id, l.ts, l.user_id,
+                       r.ts as pts, r.event_id as pid, r.value as pval,
+                       epoch_us(l.ts) - epoch_us(r.ts) as lag_us
+                from (select * from events where event_type = 'click') l
+                asof left join (select * from events where event_type = 'purchase') r
+                  on l.user_id = r.user_id and l.ts >= r.ts
+            )
+            select event_id, ts, user_id,
+                   case when lag_us > 3600000000 then null else pts end as purchase_ts,
+                   case when lag_us > 3600000000 then null else pid end as purchase_event_id,
+                   case when lag_us > 3600000000 then null else pval end as purchase_value
+            from j
         """,
         "time_rollup": """
             select date_trunc('hour', ts) as bucket,
