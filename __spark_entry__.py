@@ -1646,73 +1646,34 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry. ORDER MATTERS: the driver's correctness gate reads only
-    the FIRST 50 entries (both CORRECTNESS_r01/r02 files contain exactly 50
-    rows). Window policy (tools/driver_check.py --coverage enforces it):
+    the FIRST 50 entries. Window policy (tools/driver_check.py --coverage
+    enforces it, with a persisted one-round-only queue for overflow):
 
-      1. never-driver-checked and rewritten-since-last-green queries first;
-      2. then queries whose last green row is one round old (r01);
-      3. then this round's code-touched queries + the rest of the r02 greens;
-      4. tail (positions 51-71): queries green in BOTH r01 and r02 and
-         untouched since — the lowest-risk rotation candidates for r04.
+      1. never-driver-checked queries first (r03's 13 late analytics adds);
+      2. queries whose code is touched THIS round (simhash/hll/percentile/
+         asof rewrites are all in group 1 or here);
+      3. fill with the OLDEST-stale greens (last checked r02);
+      4. tail: r02/r03 greens untouched since — r05 rotation candidates.
     """
     return {
-        # --- never checked by any driver round (positions 51-71 in r02) ---
-        "minhash_lsh_md5": q_minhash_lsh_md5,
+        # --- r04 group 1: never driver-checked (added after the r03 gate ran;
+        # all 13 green in the judge's strict replay + tools/driver_check.py) ---
+        "keyword_tag": q_keyword_tag,
+        "cluster_survivors": q_cluster_survivors,
+        "skew_probe": q_skew_probe,
+        "zipf_fit": q_zipf_fit,
+        "dataset_card": q_dataset_card,
+        "asof_enrich": q_asof_enrich,
+        "asof_tolerance": q_asof_tolerance,
+        "percentile_panel": q_percentile_panel,
+        "time_rollup": q_time_rollup,
+        "hll_users": q_hll_users,
+        "rollup_sources": q_rollup_sources,
+        "threshold_sweep": q_threshold_sweep,
+        "length_histogram": q_length_histogram,
+        # --- r04 group 2: code touched this round (simhash de-Python) ---
         "simhash_dups_md5": q_simhash_dups_md5,
-        "embedding_dups_lsh": q_embedding_dups_lsh,
-        "json_flatten": q_json_flatten,
-        "windowed_counts": q_windowed_counts,
-        "tpch_q6": q_tpch_q6,
-        "spl_stats": q_spl_stats,
-        "spl_kv": q_spl_kv,
-        "multiline_merge": q_multiline_merge,
-        "rate_limit": q_rate_limit,
-        # --- rewritten after their last green row (r01) ---
-        "ngram_jaccard": q_ngram_jaccard,
-        "embedding_dups": q_embedding_dups,
-        "gotime_go": q_gotime_go,
-        # --- was no_oracle in r02; now has a known-answer VALUES oracle ---
-        "encrypt": q_encrypt,
-        # --- NEW in r03 (never checked) ---
-        "dedup_cluster": q_dedup_cluster,
-        "vocab_topk": q_vocab_topk,
-        "sample_stratified": q_sample_stratified,
-        "decontaminate": q_decontaminate,
-        "pack_chunks": q_pack_chunks,
-        "pii_redact": q_pii_redact,
-        "repetition_stats": q_repetition_stats,
-        "mixture_reweight": q_mixture_reweight,
-        "segment_dedup": q_segment_dedup,
-        "unigram_logprob": q_unigram_logprob,
-        "tfidf_topk": q_tfidf_topk,
-        "length_band": q_length_band,
-        "embed_quantize": q_embed_quantize,
-        "curation_pipeline": q_curation_pipeline,
-        "winnow_fps": q_winnow_fps,
-        "winnow_pairs": q_winnow_pairs,
-        "hash_split": q_hash_split,
-        "shuffle_head": q_shuffle_head,
-        "incremental_dedup": q_incremental_dedup,
-        "spl_full": q_spl_full,
-        # --- last green in r01 (rotated out of the r02 window) ---
-        "dedup_exact_norm": q_dedup_exact_norm,
-        "charset_jaccard": q_charset_jaccard,
-        "language_id": q_language_id,
-        "quality_score": q_quality_score,
-        "token_count_bpe": q_token_count_bpe,
-        "fingerprint": q_fingerprint,
-        "grok": q_grok,
-        # --- r02 greens kept in-window (incl. everything touched this round) ---
-        # --- NEW in r03 session 2 (never checked) ---
-        "boilerplate_strip": q_boilerplate_strip,
-        "quality_classifier": q_quality_classifier,
-        "bigram_logprob": q_bigram_logprob,
-        "length_batching": q_length_batching,
-        "bloom_dedup": q_bloom_dedup,
-        "vocab_encode": q_vocab_encode,
-        "char_entropy": q_char_entropy,
-        "gopher_rules": q_gopher_rules,
-        "cloud_meta_nested": q_cloud_meta_nested,
+        # --- r04 group 3: oldest-stale greens (last checked r02) ---
         "geoip": q_geoip,
         "pipeline_route_counts": q_pipeline_route_counts,
         "route_rows": q_route_rows,
@@ -1739,24 +1700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_log_regex": q_split_log_regex,
         "appender_template": q_appender_template,
         "appender_sort_labels": q_appender_sort_labels,
-        # ---- position 51+: NEW in r03 session 3 (window full — first r04
-        # rotation priority; validated by tools/driver_check.py) ----
-        "keyword_tag": q_keyword_tag,
-        "cluster_survivors": q_cluster_survivors,
-        "skew_probe": q_skew_probe,
-        "zipf_fit": q_zipf_fit,
-        "dataset_card": q_dataset_card,
-        "asof_enrich": q_asof_enrich,
-        "asof_tolerance": q_asof_tolerance,
-        "percentile_panel": q_percentile_panel,
-        "time_rollup": q_time_rollup,
-        "hll_users": q_hll_users,
-        "rollup_sources": q_rollup_sources,
-        "threshold_sweep": q_threshold_sweep,
-        "length_histogram": q_length_histogram,
-        # cloud_meta: r02-green untouched — displaced by gopher_rules
         "cloud_meta": q_cloud_meta,
-        # ---- r02-green, untouched; r04 rotation candidates ----
         "grok_typed": q_grok_typed,
         "token_count": q_token_count,
         "topk_per_group": q_topk_per_group,
@@ -1769,6 +1713,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_json": q_pack_json,
         "string_replace": q_string_replace,
         "anchor": q_anchor,
+        # ---------------- position 51+ (outside the r04 window) ----------------
+        # r03 greens (checked+green in CORRECTNESS_r03, untouched since):
+        "minhash_lsh_md5": q_minhash_lsh_md5,
+        "embedding_dups_lsh": q_embedding_dups_lsh,
+        "json_flatten": q_json_flatten,
+        "windowed_counts": q_windowed_counts,
+        "tpch_q6": q_tpch_q6,
+        "spl_stats": q_spl_stats,
+        "spl_kv": q_spl_kv,
+        "multiline_merge": q_multiline_merge,
+        "rate_limit": q_rate_limit,
+        "ngram_jaccard": q_ngram_jaccard,
+        "embedding_dups": q_embedding_dups,
+        "gotime_go": q_gotime_go,
+        "encrypt": q_encrypt,
+        "dedup_cluster": q_dedup_cluster,
+        "vocab_topk": q_vocab_topk,
+        "sample_stratified": q_sample_stratified,
+        "decontaminate": q_decontaminate,
+        "pack_chunks": q_pack_chunks,
+        "pii_redact": q_pii_redact,
+        "repetition_stats": q_repetition_stats,
+        "mixture_reweight": q_mixture_reweight,
+        "segment_dedup": q_segment_dedup,
+        "unigram_logprob": q_unigram_logprob,
+        "tfidf_topk": q_tfidf_topk,
+        "length_band": q_length_band,
+        "embed_quantize": q_embed_quantize,
+        "curation_pipeline": q_curation_pipeline,
+        "winnow_fps": q_winnow_fps,
+        "winnow_pairs": q_winnow_pairs,
+        "hash_split": q_hash_split,
+        "shuffle_head": q_shuffle_head,
+        "incremental_dedup": q_incremental_dedup,
+        "spl_full": q_spl_full,
+        "dedup_exact_norm": q_dedup_exact_norm,
+        "charset_jaccard": q_charset_jaccard,
+        "language_id": q_language_id,
+        "quality_score": q_quality_score,
+        "token_count_bpe": q_token_count_bpe,
+        "fingerprint": q_fingerprint,
+        "grok": q_grok,
+        "boilerplate_strip": q_boilerplate_strip,
+        "quality_classifier": q_quality_classifier,
+        "bigram_logprob": q_bigram_logprob,
+        "length_batching": q_length_batching,
+        "bloom_dedup": q_bloom_dedup,
+        "vocab_encode": q_vocab_encode,
+        "char_entropy": q_char_entropy,
+        "gopher_rules": q_gopher_rules,
+        "cloud_meta_nested": q_cloud_meta_nested,
+        # ---- r02-green, untouched; r05 rotation candidates ----
         "gotime": q_gotime,
         "fields_with_condition": q_fields_with_condition,
         "filter_key_regex": q_filter_key_regex,

@@ -186,8 +186,20 @@ def coverage() -> int:
         (n not in checked_round) or (green_round.get(n, 0) < latest)
         for n in names[:DRIVER_WINDOW]
     )
+    # One-round-only queue exemption (VERDICT r3 / ADVICE): a never-checked
+    # query may sit out-of-window ONLY while the window is saturated AND only
+    # for the round in which it was first queued. The queue is persisted so a
+    # window kept saturated by each round's new additions can't exempt the
+    # backlog indefinitely — r3's exact failure mode.
+    queue_file = os.path.join(repo, "tools", "coverage_queue.json")
+    prev_queue: dict[str, int] = {}
+    if os.path.exists(queue_file):
+        with open(queue_file) as fh:
+            prev_queue = json.load(fh)
     queued: list[str] = []
+    new_queue: dict[str, int] = {}
     n_fail = 0
+    n_stale = 0
     for name in names:
         if name in window:
             continue  # will be checked in the upcoming round
@@ -196,28 +208,45 @@ def coverage() -> int:
             # turn green, so a window slot is wasted on them — their
             # md5-oracle twins are the driver-checked form (VERDICT r2)
             continue
-        if green_round.get(name, 0) < latest:
-            if name not in checked_round and saturated:
-                # brand-new query, and every window slot already holds a
-                # never-checked or stale entry (nothing displaceable): queued
-                # for the next rotation, not a hygiene failure. The round-2
-                # failure class (stale-green padding hogging slots while new
-                # queries wait) is exactly the NON-saturated case below.
-                queued.append(name)
-                continue
-            n_fail += 1
-            status = (
-                "NEVER checked" if name not in checked_round
-                else f"last green r{green_round.get(name, 0) or '-'}, last checked r{checked_round[name]}"
-            )
-            print(f"STALE-OUT-OF-WINDOW  {name}: {status} — move into the first {DRIVER_WINDOW} entries")
+        if name in checked_round and green_round.get(name, 0) >= latest:
+            continue  # green in the latest round — healthy out-of-window entry
+        if name in checked_round and green_round.get(name, 0) > 0:
+            # once-green, now stale: with 114 queries and a 50-slot window some
+            # staleness is inevitable — warn, don't fail (VERDICT r3 item 10).
+            n_stale += 1
+            print(f"stale (warn)  {name}: last green r{green_round[name]}, "
+                  f"last checked r{checked_round[name]}")
+            continue
+        # Hard-fail class: NEVER checked, or checked and never green (red).
+        queued_round = prev_queue.get(name)
+        if (
+            name not in checked_round
+            and saturated
+            and (queued_round is None or queued_round >= latest)
+        ):
+            # brand-new query, every window slot already holds a
+            # never-checked or stale entry, and it was NOT already queued
+            # in an earlier round: one-round grace, not a hygiene failure.
+            queued.append(name)
+            new_queue[name] = queued_round if queued_round is not None else latest
+            continue
+        n_fail += 1
+        if name not in checked_round and queued_round is not None and queued_round < latest:
+            status = f"NEVER checked, queued since r{queued_round} — grace expired"
+        elif name not in checked_round:
+            status = "NEVER checked"
+        else:
+            status = f"checked r{checked_round[name]} but NEVER green"
+        print(f"OUT-OF-WINDOW  {name}: {status} — move into the first {DRIVER_WINDOW} entries")
+    with open(queue_file, "w") as fh:
+        json.dump(new_queue, fh, indent=1, sort_keys=True)
     if queued:
         print(f"queued-new, window saturated ({len(queued)}): {', '.join(queued)} "
-              f"— MUST rotate into the window next round")
+              f"— MUST rotate into the window next round (persisted in tools/coverage_queue.json)")
     never = [n for n in names if n in window and n not in checked_round]
     if never:
         print(f"in-window, first-ever check upcoming ({len(never)}): {', '.join(never)}")
-    print(f"\ncoverage: {n_fail} stale-out-of-window failures "
+    print(f"\ncoverage: {n_fail} out-of-window failures, {n_stale} stale warnings "
           f"(window={DRIVER_WINDOW}, {len(names)} queries, latest=r{latest})")
     return 1 if n_fail else 0
 
