@@ -1542,10 +1542,10 @@ def q_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts_p").alias("purchase_ts"),
         F.col("event_id_p").alias("purchase_event_id"),
         F.col("value_p").alias("purchase_value"),
+        # tz-free wall-clock lag (timestampdiff on NTZ == DuckDB epoch_us diff;
+        # the old TIMESTAMP→double round-trip broke across DST transitions)
         F.round(
-            F.col("ts").cast("timestamp").cast("double")
-            - F.col("ts_p").cast("timestamp").cast("double"),
-            6,
+            F.expr("timestampdiff(MICROSECOND, ts_p, ts)") / F.lit(1000000.0), 6
         ).alias("lag_sec"),
     )
 

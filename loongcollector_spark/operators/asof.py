@@ -63,11 +63,21 @@ def asof_join(
             .filter(F.col("_rord") == 1)
             .drop("_rord")
         )
+    # The whole right payload (match ts + every right column) travels as ONE
+    # struct carried by a SINGLE last(ignorenulls=True): all right-side fields
+    # of an output row always come from the same matched right row, even when
+    # some payload column is legitimately NULL there.  Per-column carry would
+    # stitch a NULL column's value from an OLDER match (diverging from DuckDB
+    # ASOF JOIN / pandas merge_asof).  The struct itself is never null on a
+    # right row (ts is non-null), so ignorenulls only skips left rows.
+    carried = [ts_col + suffix] + [c + suffix for c in rcols]
     r = r.select(
         F.col(on),
         F.col(ts_col),
-        F.col(ts_col).alias(ts_col + suffix),
-        *[F.col(c).alias(c + suffix) for c in rcols],
+        F.struct(
+            F.col(ts_col).alias(ts_col + suffix),
+            *[F.col(c).alias(c + suffix) for c in rcols],
+        ).alias("_asof_payload"),
     ).withColumn(_TAG, F.lit(0))
     l = left.withColumn(_TAG, F.lit(1))
     u = l.unionByName(r, allowMissingColumns=True)
@@ -77,26 +87,23 @@ def asof_join(
         .orderBy(F.col(ts_col).asc(), F.col(_TAG).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = [ts_col + suffix] + [c + suffix for c in rcols]
-    for c in carried:
-        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    u = u.withColumn("_asof_payload", F.last("_asof_payload", ignorenulls=True).over(w))
     out = u.filter(F.col(_TAG) == 1).drop(_TAG)
     if tolerance_sec is not None:
-        # TIMESTAMP_NTZ can't cast straight to double; go via TIMESTAMP (the
-        # session-tz offset cancels in the difference).
+        # tz-free lag: timestampdiff computes the wall-clock delta directly on
+        # TIMESTAMP_NTZ (and the physical delta on TIMESTAMP) — no session-tz
+        # round-trip, so staleness decisions hold across DST transitions where
+        # NTZ→TIMESTAMP→double casts are off by the DST offset.
         stale = (
-            F.col(ts_col).cast("timestamp").cast("double")
-            - F.col(ts_col + suffix).cast("timestamp").cast("double")
-        ) > F.lit(float(tolerance_sec))
-        # One projection: every when() must see the ORIGINAL ts_col+suffix —
-        # sequential withColumn would null it first and turn `stale` null
-        # (null-safe when keeps the value) for the remaining carried columns.
-        out = out.select(
-            *[
-                F.when(stale, F.lit(None)).otherwise(F.col(c)).alias(c)
-                if c in carried
-                else F.col(c)
-                for c in out.columns
-            ]
+            F.expr(
+                f"timestampdiff(MICROSECOND, _asof_payload.`{ts_col + suffix}`, `{ts_col}`)"
+            )
+            > F.lit(int(round(float(tolerance_sec) * 1_000_000)))
         )
-    return out
+        out = out.withColumn(
+            "_asof_payload", F.when(stale, F.lit(None)).otherwise(F.col("_asof_payload"))
+        )
+    return out.select(
+        *[F.col(c) for c in out.columns if c != "_asof_payload"],
+        *[F.col(f"_asof_payload.`{c}`").alias(c) for c in carried],
+    )

@@ -1111,6 +1111,63 @@ def test_asof_join_tolerance(spark):
     assert hit["value_r"] == 5.0 and miss["value_r"] is None
 
 
+def test_asof_join_null_payload_no_stitching(spark):
+    """A right payload column that is legitimately NULL on the matched row must
+    stay NULL — not be carried forward from an OLDER match (DuckDB ASOF /
+    pandas merge_asof take all columns from the single matched row)."""
+    from datetime import datetime as dt
+
+    from loongcollector_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, dt(2024, 1, 1, 12, 0, 0), 7)], "event_id int, ts timestamp, user_id int"
+    )
+    right = spark.createDataFrame(
+        [
+            (90, dt(2024, 1, 1, 9, 0, 0), 7, 5.0),   # older match, value present
+            (91, dt(2024, 1, 1, 11, 0, 0), 7, None),  # newest match, value NULL
+        ],
+        "event_id int, ts timestamp, user_id int, value double",
+    )
+    row = asof_join(
+        left, right, on="user_id", ts_col="ts",
+        right_cols=["event_id", "value"], suffix="_p", right_order_col="event_id",
+    ).collect()[0]
+    assert row["event_id_p"] == 91
+    assert row["value_p"] is None  # NOT 5.0 stitched from event 90
+
+
+def test_asof_tolerance_dst_safe(spark):
+    """Staleness is decided on the tz-free wall-clock delta: with a DST-shifting
+    session timezone, NTZ timestamps straddling the spring-forward gap must
+    still measure 2h apart (the old TIMESTAMP→double round-trip read 1h and
+    kept a stale match alive)."""
+    from datetime import datetime as dt
+
+    from loongcollector_spark.operators.asof import asof_join
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        # 2024-03-10: 02:00 EST jumps to 03:00 EDT. Wall-clock delta = 2h,
+        # physical delta in NY = 1h.
+        left = spark.createDataFrame(
+            [(1, dt(2024, 3, 10, 3, 30, 0), 7)],
+            "event_id int, ts timestamp_ntz, user_id int",
+        )
+        right = spark.createDataFrame(
+            [(9, dt(2024, 3, 10, 1, 30, 0), 7, 5.0)],
+            "event_id int, ts timestamp_ntz, user_id int, value double",
+        )
+        row = asof_join(
+            left, right, on="user_id", ts_col="ts",
+            right_cols=["value"], tolerance_sec=5400,  # 1.5h < 2h wall-clock
+        ).collect()[0]
+        assert row["value_r"] is None  # stale: 2h wall-clock > 1.5h tolerance
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
 # ------------------------------------------------------------------- sketch
 
 
