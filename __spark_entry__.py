@@ -1552,12 +1552,14 @@ def q_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic md5-HLL (p=4, m=16): distinct users per event type, with
-    the exact count alongside; the harmonic sum stays in exact scaled-integer
-    form so Spark and DuckDB agree bit-for-bit."""
+    the exact count alongside (audit=True — the gate checks register math AND
+    exactness; the production default never shuffles raw items); the harmonic
+    sum stays in exact scaled-integer form so Spark and DuckDB agree
+    bit-for-bit."""
     from loongcollector_spark.operators.sketch import hll_distinct
 
     return hll_distinct(
-        _t(spark, sf_dir, "events"), F.col("user_id"), ["event_type"], p=4
+        _t(spark, sf_dir, "events"), F.col("user_id"), ["event_type"], p=4, audit=True
     )
 
 
@@ -1625,12 +1627,14 @@ def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_percentile_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type value percentile panel (exact type-7 interpolation ==
     DuckDB quantile_cont): the SLO table a log pipeline's stats verb ends in.
-    Exact here because test-scale groups are small; the operator's
-    exact=False switches to the KLL-sketch approx_percentile for 100 TB."""
+    exact=True is the explicit oracle-path opt-in — test-scale groups are
+    small and bounded; the operator's DEFAULT is the KLL-sketch
+    approx_percentile, the safe form at 100 TB."""
     from loongcollector_spark.operators.aggregate import percentile_panel
 
     return percentile_panel(
-        _t(spark, sf_dir, "events"), "value", ["event_type"], ps=(0.5, 0.9, 0.99)
+        _t(spark, sf_dir, "events"), "value", ["event_type"], ps=(0.5, 0.9, 0.99),
+        exact=True,
     )
 
 

@@ -492,10 +492,16 @@ def measure_scaling(spec, lo: int = 2, hi: int = 8, rounds: int = 3) -> dict:
     # Prefer VALID pairs (see loop); a >1.05 pair is a weather artifact and
     # never becomes the headline.
     eff = max(valid_effs or sane_effs or [min(pair_effs)])
-    # A lone surviving pair far below every other evidence channel (the
-    # >1.05-invalid rounds prove opposite-direction swings) is weather, not
-    # plan: fall back to the blocked aggregate when it is the saner number.
-    if eff < 0.5 and eff_aggregate and 0.0 < eff_aggregate <= 1.05:
+    # SYMMETRIC noise fallback (r3 advice: the old low-only substitution on
+    # top of max(...) biased the headline upward): when the per-round pairs
+    # disagree beyond 0.15 — in EITHER direction — or the best pair is itself
+    # implausible (<0.5), no single pair is trustworthy and the blocked
+    # aggregate (Σt_lo vs Σt_hi across all rounds, both levels sampling the
+    # same weather window) becomes the headline, whether that raises OR
+    # lowers it.
+    spread = (max(valid_effs) - min(valid_effs)) if len(valid_effs) >= 2 else 0.0
+    noisy = spread > 0.15 or eff < 0.5
+    if noisy and eff_aggregate and 0.0 < eff_aggregate <= 1.05:
         eff = eff_aggregate
     best_pair = max(
         (p for p in pairs if p["eff"] == eff), key=lambda p: p["valid"], default=pairs[-1]
@@ -527,6 +533,10 @@ def measure_scaling(spec, lo: int = 2, hi: int = 8, rounds: int = 3) -> dict:
         "efficiency_vs_host": eff_vs_host,
         "efficiency_per_round": pair_effs,
         "efficiency_aggregate": eff_aggregate,
+        "efficiency_spread": round(spread, 3),
+        "efficiency_from_aggregate": bool(
+            noisy and eff_aggregate is not None and eff == eff_aggregate
+        ),
         "pairs": pairs,
         "runs": runs,
         "host_cpu_probe": probe,

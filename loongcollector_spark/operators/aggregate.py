@@ -236,7 +236,7 @@ def percentile_panel(
     value_col: str,
     group_cols: list[str],
     ps: tuple[float, ...] = (0.5, 0.9, 0.99),
-    exact: bool = True,
+    exact: bool = False,
     accuracy: int = 10000,
 ) -> DataFrame:
     """Per-group latency/value percentile panel — the SLO table every log
@@ -246,16 +246,15 @@ def percentile_panel(
     interpolated (type-7, what DuckDB ``quantile_cont`` computes), nulls
     ignored, round-6.
 
-    Scale shape: ``exact=True`` uses Spark's exact ``percentile`` — a
-    sort-based aggregate that buffers each group's values, fine when groups
-    are few and bounded (dashboards group by route/event_type: dozens of
-    groups × millions of rows is one shuffle of pre-combined partials, but
-    the per-group value SET still materializes on the reducer).  At 100 TB
-    with huge groups set ``exact=False``: ``approx_percentile`` keeps a
-    bounded KLL-style sketch per group map-side — constant memory, one
-    shuffle of sketches, rank error ≤ 1/accuracy — the only honest choice
-    when one group holds 10^11 values (then there is no cheap oracle; the
-    exact form IS the oracle at test scale)."""
+    Scale shape: the DEFAULT is ``exact=False`` — ``approx_percentile``
+    keeps a bounded KLL-style sketch per group map-side: constant memory,
+    one shuffle of sketches, rank error ≤ 1/accuracy — the only safe default
+    when one group may hold 10^11 values.  ``exact=True`` opts in to Spark's
+    exact ``percentile``, a sort-based aggregate that buffers each group's
+    FULL value set on the reducer (OOM on a hot group at scale) — reserved
+    for bounded group sizes and for the oracle path, where the exact type-7
+    interpolation IS what DuckDB ``quantile_cont`` computes (VERDICT r3
+    perf item #4: the unsafe form must be the opt-in, not the default)."""
     v = F.col(value_col)
     aggs = [
         F.count(v).alias("n"),

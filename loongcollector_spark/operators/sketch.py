@@ -21,8 +21,8 @@ hash so Spark and DuckDB produce BIT-IDENTICAL registers and estimates:
 
 Scale shape: groupBy(group, bucket) max → groupBy(group) sum — two map-side-
 combined hash aggregations; register space is m rows per group regardless of
-corpus size.  The exact count (emitted alongside for audit) is the only
-count-distinct; drop it at true scale and the sketch is sub-linear.
+corpus size.  The exact count is OPT-IN (``audit=True``): the default path
+never shuffles the raw item, so the sketch stays sub-linear at scale.
 """
 
 from __future__ import annotations
@@ -47,9 +47,20 @@ def hll_distinct(
     item: Column,
     group_cols: list[str],
     p: int = 6,
+    audit: bool = False,
 ) -> DataFrame:
-    """Per-group HLL distinct estimate with ``m = 2**p`` registers.  Rows:
-    (*group_cols, n_exact, n_est, rel_err, m, nonzero_buckets, z_scaled).
+    """Per-group HLL distinct estimate with ``m = 2**p`` registers.
+
+    Default (``audit=False``) — the PRODUCTION path: the aggregation carries
+    only ``(group, bucket, rho)``; after the map-side combine the shuffle
+    moves at most m register rows per group regardless of corpus size, which
+    is the entire point of a sketch.  Rows:
+    (*group_cols, n_est, m, nonzero_buckets, z_scaled).
+
+    ``audit=True`` additionally shuffles the raw item string to compute the
+    exact distinct alongside (``n_exact``, ``rel_err``) — as expensive as an
+    exact count-distinct, for correctness gates and small-corpus audits only.
+
     ``z_scaled`` is the exact integer harmonic sum — the value the hash check
     really rides on; ``n_est`` derives from it with two float ops."""
     if not 4 <= p <= 16:
@@ -62,25 +73,26 @@ def hll_distinct(
     )
     w = F.shiftright(h, p)
     rho = F.when(w > 0, F.lit(bits) - F.length(F.bin(w)) + 1).otherwise(F.lit(s))
-    hashed = df.select(
+    proj = [
         *group_cols,
         h.bitwiseAND(F.lit(m - 1)).alias("bucket"),
         rho.alias("rho"),
-        item.cast("string").alias("_item"),
-    )
-    regs = hashed.groupBy(*group_cols, "bucket").agg(
-        F.max("rho").alias("max_rho"),
-        # countDistinct here is per-bucket exact; summed below it equals the
-        # group's exact distinct because buckets partition the hash space.
-        F.countDistinct("_item").alias("n_exact_b"),
-    )
-    # Exact integer harmonic sum: non-empty buckets contribute 2^(s - max_rho),
-    # the (m - nonzero) empty buckets contribute 2^s each.
-    summed = regs.groupBy(*group_cols).agg(
+    ]
+    reg_aggs = [F.max("rho").alias("max_rho")]
+    sum_aggs = [
         F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {s} - max_rho)")).alias("z_nonzero"),
         F.count(F.lit(1)).alias("nonzero_buckets"),
-        F.sum("n_exact_b").alias("n_exact"),
-    )
+    ]
+    if audit:
+        proj.append(item.cast("string").alias("_item"))
+        # countDistinct here is per-bucket exact; summed below it equals the
+        # group's exact distinct because buckets partition the hash space.
+        reg_aggs.append(F.countDistinct("_item").alias("n_exact_b"))
+        sum_aggs.append(F.sum("n_exact_b").alias("n_exact"))
+    regs = df.select(*proj).groupBy(*group_cols, "bucket").agg(*reg_aggs)
+    # Exact integer harmonic sum: non-empty buckets contribute 2^(s - max_rho),
+    # the (m - nonzero) empty buckets contribute 2^s each.
+    summed = regs.groupBy(*group_cols).agg(*sum_aggs)
     z = (
         F.col("z_nonzero")
         + (F.lit(m) - F.col("nonzero_buckets")) * F.lit(1 << s)
@@ -92,11 +104,19 @@ def hll_distinct(
         F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
     ).otherwise(raw)
     out = summed.withColumn("z_scaled", z)
+    audit_cols = (
+        [
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.round(F.abs(est - F.col("n_exact")) / F.col("n_exact"), 4).alias("rel_err"),
+        ]
+        if audit
+        else []
+    )
     return out.select(
         *group_cols,
-        F.col("n_exact").cast("long").alias("n_exact"),
+        *([audit_cols[0]] if audit else []),
         F.round(est, 2).alias("n_est"),
-        F.round(F.abs(est - F.col("n_exact")) / F.col("n_exact"), 4).alias("rel_err"),
+        *([audit_cols[1]] if audit else []),
         F.lit(m).alias("m"),
         F.col("nonzero_buckets").cast("long").alias("nonzero_buckets"),
         F.col("z_scaled").cast("long").alias("z_scaled"),

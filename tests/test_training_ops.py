@@ -1177,13 +1177,38 @@ def test_hll_distinct(spark):
     rows = [(f"g{i % 2}", i % 50) for i in range(1000)]  # g0/g1, 25 distinct each
     df = spark.createDataFrame(rows, "grp string, item int")
     out = {r["grp"]: r for r in
-           hll_distinct(df, F.col("item"), ["grp"], p=6).collect()}
+           hll_distinct(df, F.col("item"), ["grp"], p=6, audit=True).collect()}
     for g in ("g0", "g1"):
         assert out[g]["n_exact"] == 25
         # HLL with m=64 on 25 items: linear-counting regime, tight estimate
         assert abs(out[g]["n_est"] - 25) / 25 < 0.35
         assert out[g]["nonzero_buckets"] <= 25
         assert out[g]["z_scaled"] > 0
+    # default (production) path: same estimate, no exact column
+    dflt = {r["grp"]: r for r in hll_distinct(df, F.col("item"), ["grp"], p=6).collect()}
+    for g in ("g0", "g1"):
+        assert dflt[g]["n_est"] == out[g]["n_est"]
+        assert "n_exact" not in dflt[g].asDict()
+
+
+def test_hll_default_plan_has_no_raw_item(spark):
+    """The sketch's reason to exist: the default aggregation must never move
+    the raw item through the shuffle — no _item column, no count(distinct)
+    anywhere in the optimized plan (VERDICT r3 perf item #3)."""
+    from loongcollector_spark.operators.sketch import hll_distinct
+
+    df = spark.createDataFrame([(1, "u1")], "grp int, item string")
+    plan = (
+        hll_distinct(df, F.col("item"), ["grp"], p=6)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "_item" not in plan
+    assert "distinct" not in plan.lower()
+    audit_plan = (
+        hll_distinct(df, F.col("item"), ["grp"], p=6, audit=True)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "_item" in audit_plan  # the opt-in audit branch still works
 
 
 def test_hll_determinism(spark):
@@ -1250,7 +1275,7 @@ def test_percentile_panel_exact(spark):
     )
     rows = {
         r["grp"]: r
-        for r in percentile_panel(df, "value", ["grp"], ps=(0.5, 0.9)).collect()
+        for r in percentile_panel(df, "value", ["grp"], ps=(0.5, 0.9), exact=True).collect()
     }
     a, b = rows["a"], rows["b"]
     assert (a["n"], a["min_v"], a["max_v"]) == (5, 1.0, 5.0)
@@ -1265,8 +1290,8 @@ def test_percentile_panel_approx_plan(spark):
         (F.col("id") % 4).cast("string").alias("grp"),
         F.col("id").cast("double").alias("value"),
     )
-    out = percentile_panel(df, "value", ["grp"], ps=(0.5,), exact=False)
-    # sketch aggregate, not a sort-based exact percentile
+    out = percentile_panel(df, "value", ["grp"], ps=(0.5,))  # DEFAULT = approx
+    # sketch aggregate, not a sort-based exact percentile (scale-safe default)
     assert "approx_percentile" in out._jdf.queryExecution().analyzed().toString()
     med = {r["grp"]: r["p50"] for r in out.collect()}
     for g, v in med.items():
