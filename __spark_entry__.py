@@ -1624,6 +1624,29 @@ def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_otel_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OTLP-JSON trace decode → one row per span (processor_otel_trace,
+    plugins/processor/otel/processor_otel_trace.go:56-130 + the SLS span
+    conversion in pkg/protocol/decoder/opentelemetry/otlp_trace_parser.go).
+    Input is the closed OTEL_TRACE_FIXTURE literal set (encrypt-KAT pattern),
+    so the oracle is frozen known-answer VALUES — each row hand-verified
+    against the reference conversion field by field."""
+    from loongcollector_spark.operators.otel import OTEL_TRACE_FIXTURE, otel_trace_parse
+
+    df = spark.createDataFrame(OTEL_TRACE_FIXTURE, "doc_id int, content string")
+    return otel_trace_parse(df)
+
+
+def q_otel_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OTLP-JSON metric decode → SLS metric rows per gauge/sum data point
+    (processor_otel_metric → ConvertOtlpMetrics, otlp_metric_parser.go:48-76;
+    labels sorted k#$#v|... per pkg/helper MetricLabels)."""
+    from loongcollector_spark.operators.otel import OTEL_METRIC_FIXTURE, otel_metric_parse
+
+    df = spark.createDataFrame(OTEL_METRIC_FIXTURE, "doc_id int, content string")
+    return otel_metric_parse(df)
+
+
 def q_percentile_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type value percentile panel (exact type-7 interpolation ==
     DuckDB quantile_cont): the SLO table a log pipeline's stats verb ends in.
@@ -1675,8 +1698,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_sources": q_rollup_sources,
         "threshold_sweep": q_threshold_sweep,
         "length_histogram": q_length_histogram,
-        # --- r04 group 2: code touched this round (simhash de-Python) ---
+        # --- r04 group 2: code touched / NEW this round ---
         "simhash_dups_md5": q_simhash_dups_md5,
+        "otel_trace": q_otel_trace,
+        "otel_metric": q_otel_metric,
         # --- r04 group 3: oldest-stale greens (last checked r02) ---
         "geoip": q_geoip,
         "pipeline_route_counts": q_pipeline_route_counts,
@@ -1715,9 +1740,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drop_keys": q_drop_keys,
         "drop_last_key": q_drop_last_key,
         "pack_json": q_pack_json,
+        # ---------------- position 51+ (outside the r04 window) ----------------
+        # displaced by the two new otel queries; r05 rotation candidates
         "string_replace": q_string_replace,
         "anchor": q_anchor,
-        # ---------------- position 51+ (outside the r04 window) ----------------
         # r03 greens (checked+green in CORRECTNESS_r03, untouched since):
         "minhash_lsh_md5": q_minhash_lsh_md5,
         "embedding_dups_lsh": q_embedding_dups_lsh,
@@ -2297,6 +2323,27 @@ def oracle_sql() -> dict[str, str]:
                    cast(best.survivor_score as bigint) as survivor_score,
                    m.doc_id <> surv.survivor_doc_id as is_drop
             from m join best using (rep_doc_id) join surv using (rep_doc_id)
+        """,
+        # Frozen known-answer rows for the closed OTEL_TRACE_FIXTURE inputs
+        # (hand-verified against otlp_trace_parser.go's conversion): doc 3 is
+        # malformed (dropped), doc 4 has an empty resourceSpans (no rows).
+        "otel_trace": """
+            select * from (values
+            (1, 'node-1', 'checkout', '{"debug":"true","env":"prod","replica":"3"}', 'io.otel.http', '1.19.0', '0af7651916cd43dd8448eb211c80319c', '00f067aa0ba902b7', '', 'client', 'charge', '[]', '[]', '', 1700000001100000, 1700000001400000, 300000, '{}', 'ERROR', 'card declined', 1700000001),
+            (1, 'node-1', 'checkout', '{"debug":"true","env":"prod","replica":"3"}', 'io.otel.http', '1.19.0', '0af7651916cd43dd8448eb211c80319c', 'b7ad6b7169203331', 'eee19b7ec3c1b174', 'server', 'GET /cart', '[{"attribute":{"peer":"gw"},"spanID":"f067aa0ba902b7e3","traceID":"4bf92f3577b34da6a3ce929d0e0e4736"}]', '[{"attribute":{"tier":"l2"},"name":"cache.hit","time":1700000001200000000}]', 'congo=t61rcWkgMzE', 1700000001000000, 1700000001500000, 500000, '{"http.method":"GET","http.status_code":"200"}', 'OK', '', 1700000001),
+            (2, '', '', '{"k8s.pod":"p-9"}', 'manual', '', '11111111111111111111111111111111', '2222222222222222', '', 'producer', 'emit', '[]', '[]', '', 1700000002000000, 1700000002000500, 500, '{}', 'UNSET', '', 1700000002),
+            (2, '', '', '{"k8s.pod":"p-9"}', 'manual', '', '11111111111111111111111111111111', '3333333333333333', '2222222222222222', '', 'flush', '[]', '[]', '', 1700000002100000, 1700000002100250, 250, '{}', 'UNSET', '', 1700000002)
+            ) as t(doc_id, host, service, resource, otlp_name, otlp_version,
+                   "traceID", "spanID", "parentSpanID", kind, name, links, logs,
+                   "traceState", start, "end", duration, attribute,
+                   "statusCode", "statusMessage", time)
+        """,
+        "otel_metric": """
+            select * from (values
+            (1, 'cpu_usage', 'core#$#0|region#$#eu-1|service.name#$#checkout', 1700000003500000000, cast(0.75 as double)),
+            (1, 'http_requests', 'code#$#200|region#$#eu-1|service.name#$#checkout', 1700000003000000000, cast(42.0 as double)),
+            (1, 'http_requests', 'code#$#500|region#$#eu-1|service.name#$#checkout', 1700000003000000000, cast(7.0 as double))
+            ) as t(doc_id, "__name__", "__labels__", "__time_nano__", "__value__")
         """,
         "asof_enrich": """
             select l.event_id, l.ts, l.user_id,
