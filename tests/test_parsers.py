@@ -348,6 +348,76 @@ def test_appender_templates_and_sort_labels(spark):
     assert out2[0]["fields"]["v"] == "plain-tail"
 
 
+# Every built-in name shipped by the reference
+# (plugins/processor/grok/processor_grok_default_patterns.go) — our library
+# must resolve and compile each one (bodies are self-written RE2-safe forms).
+REFERENCE_GROK_NAMES = """
+BASE10NUM BASE16FLOAT BASE16NUM CISCOMAC COMBINEDAPACHELOG COMMONAPACHELOG
+COMMONMAC DATA DATE DATESTAMP DATESTAMP_EVENTLOG DATESTAMP_OTHER
+DATESTAMP_RFC2822 DATESTAMP_RFC822 DATE_EU DATE_US DAY EMAILADDRESS
+EMAILLOCALPART GREEDYDATA HOST HOSTNAME HOSTPORT HOUR HTTPD20_ERRORLOG
+HTTPD24_ERRORLOG HTTPDATE HTTPDERROR_DATE HTTPDUSER HTTPD_ERRORLOG INT IP
+IPORHOST IPV4 IPV6 ISO8601_SECOND ISO8601_TIMEZONE LOGLEVEL MAC MINUTE MONTH
+MONTHDAY MONTHNUM MONTHNUM2 NONNEGINT NOTSPACE NUMBER PATH POSINT PROG QS
+QUOTEDSTRING SECOND SPACE SYSLOGBASE SYSLOGFACILITY SYSLOGHOST SYSLOGPROG
+SYSLOGTIMESTAMP TIME TIMESTAMP_ISO8601 TTY TZ UNIXPATH URI URIHOST URIPARAM
+URIPATH URIPATHPARAM URIPROTO URN USER USERNAME UUID WINDOWSMAC WINPATH WORD
+YEAR
+""".split()
+
+
+def test_grok_reference_pattern_parity():
+    """All 78 reference default pattern names resolve, expand acyclically, and
+    compile as Python/Java-style regex (and avoid lookbehind/atomic groups so
+    the DuckDB RE2 oracle can run the same expansion)."""
+    import re
+
+    from loongcollector_spark.operators.grok import BASE_PATTERNS, expand
+
+    assert len(REFERENCE_GROK_NAMES) == 78
+    missing = [n for n in REFERENCE_GROK_NAMES if n not in BASE_PATTERNS]
+    assert not missing, f"missing grok built-ins: {missing}"
+    for name in REFERENCE_GROK_NAMES:
+        rx, _fields = expand("%{" + name + "}")
+        re.compile(rx)  # must be a valid pattern
+        assert "(?<" not in rx and "(?>" not in rx, f"{name}: RE2-unsafe construct"
+
+
+def test_grok_syslog_line(spark):
+    from loongcollector_spark.operators.grok import parse_grok
+
+    line = "Oct 11 22:14:15 host-7.example.com sshd[4123]: Accepted publickey for deploy"
+    df = spark.createDataFrame([(1, line)], "id int, content string")
+    out = parse_grok(df, ["%{SYSLOGBASE} %{GREEDYDATA:msg}"], full_match=True).collect()[0]
+    f = out["fields"]
+    assert f["timestamp"] == "Oct 11 22:14:15"
+    assert f["logsource"] == "host-7.example.com"
+    assert f["program"] == "sshd" and f["pid"] == "4123"
+    assert f["msg"] == "Accepted publickey for deploy"
+
+
+def test_grok_combined_apache_and_uri(spark):
+    from loongcollector_spark.operators.grok import parse_grok
+
+    line = (
+        '203.0.113.9 - frank [10/Oct/2000:13:55:36 -0700] "GET /apache_pb.gif?x=1 HTTP/1.0" '
+        '200 2326 "http://www.example.com/start.html" "Mozilla/4.08"'
+    )
+    df = spark.createDataFrame([(1, line)], "id int, content string")
+    out = parse_grok(df, ["%{COMBINEDAPACHELOG}"], full_match=True).collect()[0]
+    f = out["fields"]
+    assert f["clientip"] == "203.0.113.9" and f["verb"] == "GET"
+    assert f["response"] == "200" and f["bytes"] == "2326"
+    assert f["referrer"] == '"http://www.example.com/start.html"'
+    # URI decomposes host/port
+    udf = spark.createDataFrame(
+        [(1, "visit https://api.example.com:8443/v1/items?id=7 now")], "id int, content string"
+    )
+    u = parse_grok(udf, ["%{URI:uri}"]).collect()[0]["fields"]
+    assert u["uri"] == "https://api.example.com:8443/v1/items?id=7"
+    assert u["port"] == "8443"
+
+
 def test_grok_typed_columns(spark):
     from loongcollector_spark.operators.grok import parse_grok
     import pyspark.sql.functions as F
