@@ -1624,6 +1624,19 @@ def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_batch_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batcher/FlushStrategy batch cuts (FlushStrategy.h:88-104): minute-
+    boundary + count-cap batch ids per event_type, emitted as per-batch
+    fixture rows (n_events, first/last ts). date_trunc is calendar-field and
+    tz-free, so NTZ buckets identically in Spark and DuckDB."""
+    from loongcollector_spark.operators.aggregate import batch_cuts
+
+    return batch_cuts(
+        _t(spark, sf_dir, "events"), ["event_type"], ts_col="ts",
+        order_col="event_id", min_cnt=50,
+    )
+
+
 SYSLOG_GROK = "%{SYSLOGBASE} %{GREEDYDATA:msg}"
 
 
@@ -1747,6 +1760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "otel_trace": q_otel_trace,
         "otel_metric": q_otel_metric,
         "grok_syslog": q_grok_syslog,
+        "batch_cut": q_batch_cut,
         # --- r04 group 3: oldest-stale greens (last checked r02) ---
         "geoip": q_geoip,
         "pipeline_route_counts": q_pipeline_route_counts,
@@ -1783,9 +1797,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "appender": q_appender,
         "pick_keys": q_pick_keys,
         "drop_keys": q_drop_keys,
-        "drop_last_key": q_drop_last_key,
         # ---------------- position 51+ (outside the r04 window) ----------------
-        # displaced by the three new otel/grok queries; r05 rotation candidates
+        # displaced by the four new otel/grok/batch queries; r05 rotation
+        "drop_last_key": q_drop_last_key,
         "pack_json": q_pack_json,
         "string_replace": q_string_replace,
         "anchor": q_anchor,
@@ -2374,6 +2388,16 @@ def oracle_sql() -> dict[str, str]:
                    cast(best.survivor_score as bigint) as survivor_score,
                    m.doc_id <> surv.survivor_doc_id as is_drop
             from m join best using (rep_doc_id) join surv using (rep_doc_id)
+        """,
+        "batch_cut": """
+            with r as (
+              select event_type, date_trunc('minute', ts) as minute, ts, event_id,
+                     row_number() over (partition by event_type, date_trunc('minute', ts)
+                                        order by ts, event_id) as rn
+              from events)
+            select event_type, minute, cast(floor((rn - 1) / 50) as bigint) as batch_seq,
+                   count(*) as n_events, min(ts) as first_ts, max(ts) as last_ts
+            from r group by 1, 2, 3
         """,
         "grok_syslog": f"""
             with lines as (

@@ -128,6 +128,50 @@ def metadata_group_counts(
     )
 
 
+def batch_cuts(
+    df: DataFrame,
+    group_cols: list[str],
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    min_cnt: int = 1024,
+) -> DataFrame:
+    """Batcher / FlushStrategy batch-cut ids — the SLS specialization of
+    ``EventFlushStrategy::NeedFlushByTime`` cuts a batch whenever the incoming
+    event's minute differs from the batch's creation minute
+    (``core/collection_pipeline/batch/FlushStrategy.h:88-104``:
+    ``status.GetCreateTimeMinute() != e->GetTimestamp() / 60``), and
+    ``NeedFlushByCnt`` cuts at ``mMinCnt`` events (``:52``).  The wall-clock
+    timeout rule is agent liveness, not data semantics — out of scope (same
+    stance as SURVEY §8.4).
+
+    Deterministic batch identity per event: within each (group, event-minute)
+    in (ts, order) order, batch_seq = floor((row_number-1) / min_cnt) — i.e.
+    a new batch at every minute boundary and every min_cnt events within a
+    minute.  Returns one row per BATCH: (*group_cols, minute, batch_seq,
+    n_events, first ts, last ts) — the per-sink batch-count fixture shape.
+
+    Scale shape: one shuffle; the window partitions on (group, minute), so
+    state is bounded by one group's events-per-minute, never the corpus.
+    """
+    from pyspark.sql.window import Window
+
+    minute = F.date_trunc("minute", F.col(ts_col))
+    w = Window.partitionBy(*group_cols, "_minute").orderBy(F.col(ts_col), F.col(order_col))
+    rows = (
+        df.withColumn("_minute", minute)
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("batch_seq", ((F.col("_rn") - 1) / F.lit(min_cnt)).cast("long"))
+    )
+    return (
+        rows.groupBy(*group_cols, F.col("_minute").alias("minute"), "batch_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts_col).alias("first_ts"),
+            F.max(ts_col).alias("last_ts"),
+        )
+    )
+
+
 def context_pack(
     df: DataFrame,
     order_col: str,

@@ -1299,6 +1299,34 @@ def test_percentile_panel_approx_plan(spark):
         assert abs(v - true_med) <= 8.0
 
 
+def test_batch_cuts_minute_and_count(spark):
+    """FlushStrategy.h:88-104 SLS rule: a batch never spans a minute boundary
+    (create-minute != event-minute cuts) and never exceeds min_cnt events."""
+    from datetime import datetime as dt
+
+    from loongcollector_spark.operators.aggregate import batch_cuts
+
+    rows = (
+        [("a", dt(2024, 3, 1, 10, 0, s), s) for s in range(5)]        # 5 in min 10:00
+        + [("a", dt(2024, 3, 1, 10, 1, s), 100 + s) for s in range(2)]  # 2 in min 10:01
+        + [("b", dt(2024, 3, 1, 10, 0, s), 200 + s) for s in range(3)]  # other group
+    )
+    df = spark.createDataFrame(rows, "grp string, ts timestamp, event_id int")
+    out = {
+        (r["grp"], str(r["minute"]), r["batch_seq"]): r
+        for r in batch_cuts(df, ["grp"], min_cnt=2).collect()
+    }
+    # group a, minute 10:00: 5 events with cap 2 → batches of 2, 2, 1
+    assert out[("a", "2024-03-01 10:00:00", 0)]["n_events"] == 2
+    assert out[("a", "2024-03-01 10:00:00", 1)]["n_events"] == 2
+    assert out[("a", "2024-03-01 10:00:00", 2)]["n_events"] == 1
+    # minute boundary always cuts: 10:01 restarts at batch_seq 0
+    assert out[("a", "2024-03-01 10:01:00", 0)]["n_events"] == 2
+    assert out[("b", "2024-03-01 10:00:00", 0)]["n_events"] == 2
+    assert out[("b", "2024-03-01 10:00:00", 1)]["n_events"] == 1
+    assert len(out) == 6
+
+
 def test_time_rollup_hourly(spark):
     from datetime import datetime as dt
 
