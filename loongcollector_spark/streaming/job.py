@@ -39,6 +39,47 @@ def stream_sequences(
     return r.parquet(input_dir)
 
 
+def stream_sequences_rate(
+    spark: SparkSession,
+    rows_per_second: int = 1000,
+    pool_size: int = 1000,
+    seed: int = 42,
+) -> DataFrame:
+    """Non-file streaming source adapter (SURVEY §2.1's push/pull input row):
+    Spark's built-in ``rate`` source drives the pipeline the way a kafka/http
+    input drives the reference agent — an unbounded row stream with no files
+    involved.  Each tick joins (stream-static broadcast, no shuffle) against a
+    deterministic pool of ``synth.gen_rows`` sequences, so the content is the
+    SAME parseable nginx/apsara/json/delimiter/kv mix as the batch corpus and
+    the token-array invariant stays checkable: row ``value`` carries the pool
+    index, doc_id is re-derived from ``value``.
+
+    Swapping in a real kafka topic is the same wiring with
+    ``readStream.format("kafka")`` + ``from_json``/decode in place of the pool
+    join — the downstream pipeline is identical (stateless projections).
+    """
+    from ..synth import gen_rows
+
+    pool = spark.createDataFrame(
+        [(i, d, t, n, s) for i, (d, t, n, s) in enumerate(gen_rows(pool_size, seed))],
+        "idx long, pool_doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    rate = (
+        spark.readStream.format("rate").option("rowsPerSecond", rows_per_second).load()
+    )
+    return (
+        rate.join(F.broadcast(pool), (rate["value"] % pool_size) == pool["idx"])
+        .select(
+            F.concat(F.lit("doc-"), F.lpad(F.col("value").cast("string"), 12, "0")).alias(
+                "doc_id"
+            ),
+            "tokens",
+            "n_tok",
+            "source",
+        )
+    )
+
+
 def stream_pipeline(
     spark: SparkSession,
     input_dir: str,

@@ -150,3 +150,45 @@ def test_stream_session_counts(spark, tmp_path):
     # at minimum the CLOSED sessions must be present and correctly merged
     assert (1, "2024-01-01T10:00:00", 3) in got
     assert not any(u == 1 and n > 3 for u, _, n in got)  # pause split the sessions
+
+
+def test_rate_source_drives_pipeline(spark):
+    """Non-file streaming source (rate) → the SAME pipeline plan end-to-end:
+    rows flow with no files involved, parse+route produce the usual sinks,
+    and the token-array invariant holds vs the deterministic pool."""
+    import time
+
+    from loongcollector_spark.streaming.job import stream_sequences_rate
+    from loongcollector_spark.synth import gen_rows
+
+    seqs = stream_sequences_rate(spark, rows_per_second=500, pool_size=200)
+    assert seqs.isStreaming
+    routed = build_pipeline(seqs)
+    q = (
+        routed.writeStream.format("memory")
+        .queryName("rate_routed")
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        n = 0
+        while time.time() < deadline:
+            n = spark.sql("select count(*) c from rate_routed").collect()[0]["c"]
+            if n >= 200:
+                break
+            time.sleep(1)
+        assert n >= 200, f"only {n} rows arrived from the rate source"
+        got = spark.sql(
+            "select doc_id, tokens, route from rate_routed order by doc_id limit 200"
+        ).collect()
+        pool = [t for _d, t, _n, _s in gen_rows(200)]
+        for r in got:
+            idx = int(r["doc_id"].split("-")[1]) % 200
+            assert list(r["tokens"]) == pool[idx]  # token-array equality invariant
+        assert {r["route"] for r in got} <= {
+            "sink_nginx", "sink_apsara", "sink_structured", "sink_default"
+        }
+    finally:
+        q.stop()
