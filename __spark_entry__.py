@@ -1624,6 +1624,38 @@ def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Messy crawl-style URL synthesized deterministically from doc_id: scheme
+# case, www. prefix, explicit default port, trailing slash, tracking params,
+# fragments, and query-param order all vary; the canonicalizer collapses all
+# seven axes, so groups key on (doc_id%7 host, doc_id%11 path, query class).
+_URL_SYNTH = """
+    concat(
+      case when doc_id % 3 = 0 then 'https://'
+           when doc_id % 3 = 1 then 'HTTP://www.' else '' end,
+      'Site', cast(doc_id % 7 as {st}), '.Example.COM',
+      case when doc_id % 2 = 0 then ':443' else '' end,
+      '/Path/', cast(doc_id % 11 as {st}),
+      case when doc_id % 4 = 0 then '/?utm_source=x&b=2&a=1'
+           when doc_id % 4 = 1 then '?a=1&b=2&utm_campaign=y'
+           when doc_id % 4 = 2 then '/' else '' end,
+      case when doc_id % 5 = 0 then '#frag' else '' end)
+"""
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup (crawl pipelines' cheapest, first dedup stage):
+    canonicalize scheme/www/port/slash/tracking-param/fragment/param-order
+    variants to one key, keep the lowest doc_id per key. Pure-Catalyst
+    projection + one map-combinable hash agg + one equi-join
+    (operators/url.py)."""
+    from loongcollector_spark.operators.url import url_dedup
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_URL_SYNTH.format(st="string")).alias("url")
+    )
+    return url_dedup(docs)
+
+
 def q_batch_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batcher/FlushStrategy batch cuts (FlushStrategy.h:88-104): minute-
     boundary + count-cap batch ids per event_type, emitted as per-batch
@@ -1756,6 +1788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "threshold_sweep": q_threshold_sweep,
         "length_histogram": q_length_histogram,
         # --- r04 group 2: code touched / NEW this round ---
+        "url_dedup": q_url_dedup,
         "simhash_dups_md5": q_simhash_dups_md5,
         "otel_trace": q_otel_trace,
         "otel_metric": q_otel_metric,
@@ -2388,6 +2421,40 @@ def oracle_sql() -> dict[str, str]:
                    cast(best.survivor_score as bigint) as survivor_score,
                    m.doc_id <> surv.survivor_doc_id as is_drop
             from m join best using (rep_doc_id) join surv using (rep_doc_id)
+        """,
+        "url_dedup": f"""
+            with u as (
+              select doc_id, {_URL_SYNTH.format(st="varchar")} as url
+              from documents),
+            c as (
+              select doc_id,
+                     regexp_replace(regexp_replace(url, '#.*$', ''),
+                                    '^([A-Za-z][A-Za-z0-9+.\\-]*:)?//', '') as s
+              from u),
+            p as (
+              select doc_id,
+                     regexp_replace(regexp_replace(
+                         lower(regexp_extract(s, '^([^/?]*)', 1)),
+                         '^www\\.', ''), ':(80|443)$', '') as host,
+                     regexp_replace(regexp_extract(regexp_replace(s, '^[^/?]*', ''),
+                                                   '^([^?]*)', 1), '/+$', '') as path,
+                     regexp_extract(regexp_replace(s, '^[^/?]*', ''),
+                                    '\\?(.*)$', 1) as q
+              from c),
+            canon as (
+              select doc_id,
+                     host || path ||
+                     case when qc <> '' then '?' || qc else '' end as url_canon
+              from (select doc_id, host, path,
+                           array_to_string(list_sort(list_filter(string_split(q, '&'),
+                             x -> x <> '' and not regexp_matches(x,
+                               '^(utm_[^=]*|gclid|fbclid|ref|mc_eid)(=.*)?$'))),
+                             '&') as qc
+                    from p))
+            select doc_id, url_canon,
+                   doc_id = min(doc_id) over (partition by url_canon) as is_kept,
+                   count(*) over (partition by url_canon) as n_dups
+            from canon
         """,
         "batch_cut": """
             with r as (

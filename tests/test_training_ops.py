@@ -1349,3 +1349,39 @@ def test_time_rollup_hourly(spark):
     )
     assert out[("2024-03-01T11:00:00", "a")]["n_rows"] == 1
     assert out[("2024-03-01T10:00:00", "b")]["sum_v"] == 7.0
+
+
+def test_url_canonicalize_rules(spark):
+    from loongcollector_spark.operators.url import url_canonicalize
+
+    cases = [
+        # (raw, expected canonical)
+        ("HTTPS://WWW.Example.COM:443/A/b/#frag", "example.com/A/b"),
+        ("http://example.com:80/", "example.com"),
+        ("example.com/x?b=2&utm_source=s&a=1", "example.com/x?a=1&b=2"),
+        ("//cdn.Example.com/img//", "cdn.example.com/img"),
+        ("https://site.org/p?gclid=z&fbclid=y&ref=h", "site.org/p"),
+        ("https://site.org/p?", "site.org/p"),
+        ("https://a.b/P?x=1#f?y=2", "a.b/P?x=1"),  # fragment strips first
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)], "i long, url string")
+    got = {r["i"]: r["url_canon"] for r in url_canonicalize(df).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, f"case {i}: {got[i]!r} != {want!r}"
+
+
+def test_url_dedup_keeps_min_id(spark):
+    from loongcollector_spark.operators.url import url_dedup
+
+    rows = [
+        (1, "https://www.a.com/x/"),
+        (2, "http://A.COM/x?utm_source=t"),
+        (3, "a.com/x#frag"),
+        (4, "a.com/y"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r["doc_id"]: r for r in url_dedup(df).collect()}
+    assert out[1]["is_kept"] and out[1]["n_dups"] == 3
+    assert not out[2]["is_kept"] and not out[3]["is_kept"]
+    assert out[4]["is_kept"] and out[4]["n_dups"] == 1
+    assert out[2]["url_canon"] == out[1]["url_canon"] == "a.com/x"
