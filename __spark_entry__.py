@@ -1656,6 +1656,79 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_dedup(docs)
 
 
+# Deterministic pre-tokenized sequences synthesized from doc_id — the engine's
+# input shape (tokens array<int>, north-rule input_hint) rebuilt identically by
+# Spark (`sequence`/`transform`) and DuckDB (`generate_series`/`list_transform`):
+# length 24..100, token ids a class-offset arithmetic stream over 16 content
+# classes (doc_id % 16), so same-class sequences share aligned k-grams — real
+# duplication structure for the dup-rate operator.
+_TOK_SYNTH_SPARK = (
+    "transform(sequence(1, cast(24 + doc_id % 77 as int)), "
+    "i -> cast((31 * (doc_id % 16) + 17 * i + (i * i) % 7) % 512 as int))"
+)
+_TOK_SYNTH_DUCK = (
+    "list_transform(generate_series(1, cast(24 + doc_id % 77 as int)), "
+    "i -> cast((31 * (doc_id % 16) + 17 * i + (i * i) % 7) % 512 as int))"
+)
+
+
+def q_token_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level corpus-duplicated k-gram fraction per sequence (the
+    Gopher/RefinedWeb duplicate-n-gram signal computed on the token ints
+    directly — no decode). Inverted-index shape: positions → md5 gram keys →
+    two map-combined hash aggs → one keyed join; no all-pairs, no window
+    (operators/tokens.py::token_ngram_dup_stats)."""
+    from loongcollector_spark.operators.tokens import token_ngram_dup_stats
+
+    seqs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_TOK_SYNTH_SPARK).alias("tokens")
+    )
+    return token_ngram_dup_stats(seqs, k=8)
+
+
+def q_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style per-domain document cap: keep the 40 lowest-doc_id docs per
+    domain, exact, via the salted two-stage top-Q (a hot domain never sorts
+    in one task — operators/tokens.py::quota_cap)."""
+    from loongcollector_spark.operators.tokens import quota_cap
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.concat(F.lit("site"), (F.col("doc_id") % 7).cast("string")).alias("domain"),
+    )
+    return quota_cap(docs, key_col="domain", order_col="doc_id", quota=40)
+
+
+def q_token_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-training tokenized-table audit per source: declared-length
+    mismatches, out-of-vocab-range ids, missing EOS, empties — one codegen
+    projection + one map-combined groupBy (operators/tokens.py::
+    token_integrity). Violations are injected deterministically so every
+    counter is exercised: doc_id%13==0 appends an out-of-range 9999 instead
+    of EOS 511 (doc_id%5==0 appends nothing), doc_id%17==0 mis-declares
+    n_tok by 1."""
+    from loongcollector_spark.operators.tokens import token_integrity
+
+    tok = (
+        f"concat({_TOK_SYNTH_SPARK}, "
+        "case when doc_id % 13 = 0 then array(cast(9999 as int)) "
+        "when doc_id % 5 <> 0 then array(cast(511 as int)) "
+        "else array() end)"
+    )
+    seqs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.expr(tok).alias("tokens"),
+    ).withColumn(
+        "n_tok",
+        (F.size("tokens") - F.when(F.col("doc_id") % 17 == 0, 1).otherwise(0)).cast(
+            "int"
+        ),
+    )
+    return token_integrity(seqs, vocab_size=512, eos_id=511)
+
+
 def q_batch_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batcher/FlushStrategy batch cuts (FlushStrategy.h:88-104): minute-
     boundary + count-cap batch ids per event_type, emitted as per-batch
@@ -1794,6 +1867,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "otel_metric": q_otel_metric,
         "grok_syslog": q_grok_syslog,
         "batch_cut": q_batch_cut,
+        "token_dup_rate": q_token_dup_rate,
+        "domain_quota": q_domain_quota,
+        "token_integrity": q_token_integrity,
         # --- r04 group 3: oldest-stale greens (last checked r02) ---
         "geoip": q_geoip,
         "pipeline_route_counts": q_pipeline_route_counts,
@@ -1823,6 +1899,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "appender_sort_labels": q_appender_sort_labels,
         "cloud_meta": q_cloud_meta,
         "grok_typed": q_grok_typed,
+        # ---------------- position 51+ (outside the r04 window) ----------------
+        # displaced by the new otel/grok/batch/token queries; r05 rotation
         "token_count": q_token_count,
         "topk_per_group": q_topk_per_group,
         "rename_keys": q_rename_keys,
@@ -1830,8 +1908,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "appender": q_appender,
         "pick_keys": q_pick_keys,
         "drop_keys": q_drop_keys,
-        # ---------------- position 51+ (outside the r04 window) ----------------
-        # displaced by the four new otel/grok/batch queries; r05 rotation
         "drop_last_key": q_drop_last_key,
         "pack_json": q_pack_json,
         "string_replace": q_string_replace,
@@ -2455,6 +2531,69 @@ def oracle_sql() -> dict[str, str]:
                    doc_id = min(doc_id) over (partition by url_canon) as is_kept,
                    count(*) over (partition by url_canon) as n_dups
             from canon
+        """,
+        "token_dup_rate": f"""
+            with seqs as (select doc_id, {_TOK_SYNTH_DUCK} as tokens
+                          from documents),
+            g as (select doc_id,
+                         md5(array_to_string(tokens[i:i+7], ',')) as key
+                  from seqs,
+                       unnest(range(1, greatest(len(tokens) - 7, 0) + 1)) as t(i)),
+            dg as (select doc_id, key, count(*) as c from g group by 1, 2),
+            gd as (select key, count(*) as n_docs from dg group by 1),
+            pd as (select doc_id, sum(c) as n_grams,
+                          sum(case when n_docs >= 2 then c else 0 end) as n_dup
+                   from dg join gd using (key) group by 1)
+            select s.doc_id,
+                   cast(coalesce(pd.n_grams, greatest(len(s.tokens) - 7, 0))
+                        as bigint) as n_grams,
+                   cast(coalesce(pd.n_dup, 0) as bigint) as n_dup_grams,
+                   case when coalesce(pd.n_grams, greatest(len(s.tokens) - 7, 0)) > 0
+                        then round(coalesce(pd.n_dup, 0) /
+                             cast(coalesce(pd.n_grams,
+                                  greatest(len(s.tokens) - 7, 0)) as double), 6)
+                        else 0.0 end as dup_rate
+            from seqs s left join pd using (doc_id)
+        """,
+        "domain_quota": """
+            with d as (select doc_id, source,
+                              'site' || cast(doc_id % 7 as varchar) as domain
+                       from documents),
+            r as (select doc_id, source, domain,
+                         row_number() over (partition by domain
+                                            order by doc_id) as kept_rank
+                  from d)
+            select doc_id, source, domain, cast(kept_rank as int) as kept_rank
+            from r where kept_rank <= 40
+        """,
+        "token_integrity": f"""
+            with s as (
+              select doc_id, source,
+                     list_concat({_TOK_SYNTH_DUCK},
+                       case when doc_id % 13 = 0 then [cast(9999 as int)]
+                            when doc_id % 5 <> 0 then [cast(511 as int)]
+                            else cast([] as int[]) end) as tokens
+              from documents),
+            n as (select *,
+                         len(tokens) - case when doc_id % 17 = 0 then 1 else 0 end
+                           as n_tok
+                  from s),
+            f as (select source,
+                         case when n_tok <> len(tokens) then 1 else 0 end as mis,
+                         case when len(list_filter(tokens,
+                                x -> x < 0 or x >= 512)) > 0 then 1 else 0 end as oor,
+                         case when len(tokens) = 0 or tokens[-1] <> 511
+                              then 1 else 0 end as noeos,
+                         case when len(tokens) = 0 then 1 else 0 end as emp,
+                         len(tokens) as ntoks
+                  from n)
+            select source, count(*) as n_seqs,
+                   cast(sum(mis) as bigint) as n_len_mismatch,
+                   cast(sum(oor) as bigint) as n_out_of_range,
+                   cast(sum(noeos) as bigint) as n_missing_eos,
+                   cast(sum(emp) as bigint) as n_empty,
+                   cast(sum(ntoks) as bigint) as tok_total
+            from f group by source
         """,
         "batch_cut": """
             with r as (

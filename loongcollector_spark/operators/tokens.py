@@ -1,0 +1,199 @@
+"""Token-array-native curation operators.
+
+The engine's input is the pre-tokenized sequence table
+``(doc_id, tokens array<int>, n_tok, source)`` — these operators work on the
+``tokens`` payload DIRECTLY, without decoding to text, which is how a
+100 TB curation pass should run (decode is a per-byte cost; token ints are
+already the compact form).
+
+* ``token_ngram_dup_stats`` — per-sequence fraction of its token k-gram
+  positions whose k-gram occurs in ≥2 distinct sequences corpus-wide (the
+  token-level twin of Gopher/RefinedWeb "duplicate n-gram fraction";
+  sequences dominated by corpus-duplicated grams are boilerplate/templated).
+* ``quota_cap`` — keep at most Q rows per key (C4/RefinedWeb per-domain
+  document caps), EXACT lowest-``order_col`` selection, skew-safe: a salted
+  two-stage top-Q so a 10^9-document hot domain never sorts in one task.
+* ``token_integrity`` — per-source audit of the tokenized table's invariants
+  (n_tok == len(tokens), token ids in vocab range, EOS termination, empties)
+  — the pre-flight check before a training run consumes the table.
+
+All three are pure DataFrame ops (no Python UDFs); grams are keyed by
+``md5(array_join(gram, ','))`` — a fixed-width shuffle key a SQL oracle can
+replay exactly, vs shuffling variable-width int arrays.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _gram_key(gram: Column) -> Column:
+    """Fixed-width (hex md5) shuffle key for a token k-gram. Deterministic and
+    replayable in DuckDB (``md5(array_to_string(gram, ','))``)."""
+    return F.md5(F.array_join(F.transform(gram, lambda x: x.cast("string")), ","))
+
+
+def token_ngram_dup_stats(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Per-sequence corpus-duplicated k-gram profile.
+
+    Rows: ``(id_col, n_grams, n_dup_grams, dup_rate)`` where ``n_grams`` is
+    the sequence's k-gram position count (``max(len-k+1, 0)``), a position is
+    *duplicated* when its k-gram occurs in at least 2 DISTINCT sequences
+    (within-sequence repeats alone don't count), and ``dup_rate`` is the
+    duplicated fraction rounded to 6 digits (0.0 for sequences shorter
+    than k).
+
+    Scale shape (the inverted-index form, same as ngram_jaccard /
+    decontaminate — never all-pairs):
+      1. one projection explodes positions to (id, gram_key) with a per-pair
+         position count c — ``groupBy(id, key)`` is map-side combinable and
+         collapses within-doc repeats before any join;
+      2. gram table = ``groupBy(key).count()`` over those already-distinct
+         (id, key) rows — map-side combinable, n_docs per gram;
+      3. ONE shuffle equi-join (id,key,c)⋈(key,n_docs) then a keyed hash agg
+         back to one row per id. No corpus-wide window, no Python. A
+         stop-gram cap is unnecessary because the join is keyed by gram (the
+         hot gram fans out to its own positions only, which is the input
+         size), unlike pair-generating self-joins.
+    """
+    toks = F.col(tokens_col)
+    n_grams = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(0))
+    grams = (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.when(
+                    F.size(toks) >= k,
+                    F.transform(
+                        F.sequence(F.lit(1), (F.size(toks) - F.lit(k - 1))),
+                        lambda i: F.slice(toks, i, k),
+                    ),
+                ).otherwise(F.array().cast("array<array<int>>"))
+            ).alias("_gram"),
+        )
+        .select(F.col(id_col), _gram_key(F.col("_gram")).alias("_key"))
+        .groupBy(id_col, "_key")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    gram_docs = grams.groupBy("_key").agg(F.count(F.lit(1)).alias("_n_docs"))
+    per_doc = (
+        grams.join(gram_docs, "_key")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_c").alias("n_grams"),
+            F.sum(F.when(F.col("_n_docs") >= 2, F.col("_c")).otherwise(0)).alias(
+                "n_dup_grams"
+            ),
+        )
+    )
+    base = df.select(F.col(id_col), n_grams.cast("bigint").alias("_n_pos"))
+    return base.join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_grams", F.col("_n_pos")).alias("n_grams"),
+        F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
+        F.when(
+            F.coalesce("n_grams", F.col("_n_pos")) > 0,
+            F.round(
+                F.coalesce("n_dup_grams", F.lit(0))
+                / F.coalesce("n_grams", F.col("_n_pos")).cast("double"),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_rate"),
+    )
+
+
+def quota_cap(
+    df: DataFrame,
+    key_col: str = "domain",
+    order_col: str = "doc_id",
+    quota: int = 100,
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Keep at most ``quota`` rows per ``key_col`` — the EXACT ``quota``
+    lowest-``order_col`` rows (``order_col`` must be unique per key for a
+    deterministic result; doc ids are). Output = the kept rows plus
+    ``kept_rank`` (1..quota within the key).
+
+    Scale shape: per-key top-Q via a window is correct but sorts each key
+    group in ONE task — a hot domain with 10^9 docs is a straggler/OOM. This
+    runs the standard salted two-stage instead: stage 1 takes top-Q within
+    (key, salt) buckets — each ≤ 1/S of the hot key — leaving ≤ S·Q rows per
+    key; stage 2 re-ranks those few rows per key for the exact global top-Q
+    (global top-Q is a subset of the union of per-bucket top-Qs, so the
+    two-stage result is exactly the one-stage result). Salt is internal
+    partitioning only — it never affects the output.
+    """
+    salt = F.pmod(F.xxhash64(F.col(order_col)), F.lit(salt_buckets))
+    w1 = Window.partitionBy(key_col, "_salt").orderBy(order_col)
+    stage1 = (
+        df.withColumn("_salt", salt)
+        .withColumn("_rn1", F.row_number().over(w1))
+        .filter(F.col("_rn1") <= quota)
+    )
+    w2 = Window.partitionBy(key_col).orderBy(order_col)
+    return (
+        stage1.withColumn("kept_rank", F.row_number().over(w2))
+        .filter(F.col("kept_rank") <= quota)
+        .drop("_salt", "_rn1")
+    )
+
+
+def token_integrity(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    n_tok_col: str = "n_tok",
+    source_col: str = "source",
+    vocab_size: int = 512,
+    eos_id: int = 511,
+) -> DataFrame:
+    """Per-source tokenized-table audit — the invariants a training loader
+    assumes, checked in one pass before a run consumes the table.
+
+    Rows per source: ``(source, n_seqs, n_len_mismatch, n_out_of_range,
+    n_missing_eos, n_empty, tok_total)`` where
+      * len mismatch: the declared ``n_tok`` ≠ ``len(tokens)`` (a corrupted
+        ingest or a stale re-tokenization);
+      * out of range: any token id < 0 or ≥ ``vocab_size`` (wrong tokenizer /
+        bit corruption — would index past the embedding table);
+      * missing EOS: last token ≠ ``eos_id`` (an untermination that silently
+        glues documents together after packing);
+      * empty: zero-length payload.
+
+    Scale shape: pure codegen projection (array ``exists``/``element_at``)
+    into ONE map-side-combined groupBy(source) — no explode (the per-token
+    predicate runs inside the array, emitting one boolean per row, not one
+    row per token), no join, no Python.
+    """
+    toks = F.col(tokens_col)
+    bad_range = F.exists(toks, lambda x: (x < 0) | (x >= F.lit(vocab_size)))
+    flags = df.select(
+        F.col(source_col).alias("source"),
+        (F.col(n_tok_col) != F.size(toks)).cast("int").alias("_mis"),
+        bad_range.cast("int").alias("_oor"),
+        (
+            (F.size(toks) == 0)
+            | (F.element_at(toks, -1) != F.lit(eos_id))
+        ).cast("int").alias("_noeos"),
+        (F.size(toks) == 0).cast("int").alias("_empty"),
+        F.size(toks).cast("bigint").alias("_n"),
+    )
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_seqs"),
+            F.sum("_mis").alias("n_len_mismatch"),
+            F.sum("_oor").alias("n_out_of_range"),
+            F.sum("_noeos").alias("n_missing_eos"),
+            F.sum("_empty").alias("n_empty"),
+            F.sum("_n").alias("tok_total"),
+        )
+    )

@@ -1,0 +1,108 @@
+"""Token-array-native curation ops (operators/tokens.py): corpus-duplicated
+k-gram profile, skew-safe per-key quota cap, tokenized-table integrity audit."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from loongcollector_spark.operators.tokens import (
+    quota_cap,
+    token_integrity,
+    token_ngram_dup_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def seqs(spark):
+    rows = [
+        # docs 1 and 2 are identical 6-token streams → every 4-gram duplicated
+        (1, [1, 2, 3, 4, 5, 6]),
+        (2, [1, 2, 3, 4, 5, 6]),
+        # doc 3 shares only the first 4 tokens with 1/2 → 1 of 3 grams dup
+        (3, [1, 2, 3, 4, 9, 9]),
+        # doc 4 is unique
+        (4, [7, 7, 7, 8, 8, 8]),
+        # doc 5 shorter than k → zero grams
+        (5, [1, 2]),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, tokens array<int>")
+
+
+def test_token_ngram_dup_stats(seqs):
+    out = {r["doc_id"]: r for r in token_ngram_dup_stats(seqs, k=4).collect()}
+    # 6 tokens, k=4 → 3 gram positions
+    assert out[1]["n_grams"] == 3 and out[1]["n_dup_grams"] == 3
+    assert out[1]["dup_rate"] == 1.0 and out[2]["dup_rate"] == 1.0
+    assert out[3]["n_grams"] == 3 and out[3]["n_dup_grams"] == 1
+    assert out[3]["dup_rate"] == round(1 / 3, 6)
+    assert out[4]["n_dup_grams"] == 0 and out[4]["dup_rate"] == 0.0
+    # short doc: zero grams, rate 0, still present
+    assert out[5]["n_grams"] == 0 and out[5]["dup_rate"] == 0.0
+
+
+def test_token_ngram_within_doc_repeat_not_dup(spark):
+    # a gram repeated WITHIN one doc only is not corpus-duplicated
+    df = spark.createDataFrame(
+        [(1, [5, 6, 5, 6, 5, 6]), (2, [9, 9, 9, 9])], "doc_id int, tokens array<int>"
+    )
+    out = {r["doc_id"]: r for r in token_ngram_dup_stats(df, k=2).collect()}
+    assert out[1]["n_dup_grams"] == 0 and out[2]["n_dup_grams"] == 0
+
+
+def test_quota_cap_exact_and_salt_invariant(spark):
+    rows = [(i, "hot" if i % 3 != 0 else f"cold{i % 5}") for i in range(1, 61)]
+    df = spark.createDataFrame(rows, "doc_id int, domain string")
+    kept = quota_cap(df, key_col="domain", order_col="doc_id", quota=5).collect()
+    by_dom: dict[str, list[int]] = {}
+    for r in kept:
+        by_dom.setdefault(r["domain"], []).append((r["kept_rank"], r["doc_id"]))
+    # hot domain capped at exactly its 5 LOWEST doc_ids, rank = order
+    hot = sorted(by_dom["hot"])
+    expect = sorted(i for i in range(1, 61) if i % 3 != 0)[:5]
+    assert [d for _, d in hot] == expect
+    assert [rk for rk, _ in hot] == [1, 2, 3, 4, 5]
+    # under-quota domains keep everything
+    for dom, lst in by_dom.items():
+        if dom != "hot":
+            assert len(lst) <= 5
+    # result identical across salt_buckets settings (salt is partitioning only)
+    kept1 = sorted(
+        (r["domain"], r["doc_id"])
+        for r in quota_cap(df, "domain", "doc_id", 5, salt_buckets=1).collect()
+    )
+    kept64 = sorted(
+        (r["domain"], r["doc_id"])
+        for r in quota_cap(df, "domain", "doc_id", 5, salt_buckets=64).collect()
+    )
+    assert kept1 == kept64 == sorted((r["domain"], r["doc_id"]) for r in kept)
+
+
+def test_token_integrity_counters(spark):
+    rows = [
+        # (doc, source, tokens, n_tok)
+        (1, "a", [1, 2, 511], 3),   # clean
+        (2, "a", [1, 2, 511], 2),   # declared-length mismatch
+        (3, "a", [1, 600, 511], 3),  # out of range (vocab 512)
+        (4, "a", [1, 2, 3], 3),     # missing EOS
+        (5, "b", [], 0),            # empty (also missing EOS)
+        (6, "b", [-1, 511], 2),     # negative id out of range
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, source string, tokens array<int>, n_tok int")
+    out = {r["source"]: r for r in token_integrity(df, vocab_size=512, eos_id=511).collect()}
+    a, b = out["a"], out["b"]
+    assert a["n_seqs"] == 4 and a["n_len_mismatch"] == 1
+    assert a["n_out_of_range"] == 1 and a["n_missing_eos"] == 1 and a["n_empty"] == 0
+    assert a["tok_total"] == 3 + 3 + 3 + 3
+    assert b["n_seqs"] == 2 and b["n_empty"] == 1
+    assert b["n_out_of_range"] == 1 and b["n_missing_eos"] == 1
+    assert b["tok_total"] == 2
+
+
+def test_quota_cap_plan_has_two_stage_window(spark):
+    df = spark.createDataFrame(
+        [(i, f"d{i % 4}") for i in range(40)], "doc_id int, domain string"
+    )
+    plan = quota_cap(df, "domain", "doc_id", 3)._jdf.queryExecution().executedPlan().toString()
+    # two window operators: the salted partial and the per-key final
+    assert plan.count("Window") >= 2
