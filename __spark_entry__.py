@@ -1729,6 +1729,27 @@ def q_token_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_integrity(seqs, vocab_size=512, eos_id=511)
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repeated-line removal (keep first occurrence, original
+    order) — zero-shuffle codegen projection (dedup.py::line_dedup). Inputs
+    synthesize a 5-line page with a repeated header and a repeated body line,
+    so every doc removes exactly the 2 intra-doc repeats."""
+    from loongcollector_spark.operators.dedup import line_dedup
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(F.lit("hdr-"), F.col("source")),
+            F.col("text"),
+            F.concat(F.lit("hdr-"), F.col("source")),
+            F.col("text"),
+            F.concat(F.lit("tail-"), (F.col("doc_id") % 3).cast("string")),
+        ).alias("content"),
+    )
+    return line_dedup(docs)
+
+
 def q_batch_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batcher/FlushStrategy batch cuts (FlushStrategy.h:88-104): minute-
     boundary + count-cap batch ids per event_type, emitted as per-batch
@@ -1870,6 +1891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_dup_rate": q_token_dup_rate,
         "domain_quota": q_domain_quota,
         "token_integrity": q_token_integrity,
+        "line_dedup": q_line_dedup,
         # --- r04 group 3: oldest-stale greens (last checked r02) ---
         "geoip": q_geoip,
         "pipeline_route_counts": q_pipeline_route_counts,
@@ -1898,9 +1920,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "appender_template": q_appender_template,
         "appender_sort_labels": q_appender_sort_labels,
         "cloud_meta": q_cloud_meta,
-        "grok_typed": q_grok_typed,
         # ---------------- position 51+ (outside the r04 window) ----------------
-        # displaced by the new otel/grok/batch/token queries; r05 rotation
+        # displaced by the new otel/grok/batch/token/line queries; r05 rotation
+        "grok_typed": q_grok_typed,
         "token_count": q_token_count,
         "topk_per_group": q_topk_per_group,
         "rename_keys": q_rename_keys,
@@ -2594,6 +2616,23 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(emp) as bigint) as n_empty,
                    cast(sum(ntoks) as bigint) as tok_total
             from f group by source
+        """,
+        "line_dedup": """
+            with d as (select doc_id,
+                              'hdr-' || source || chr(10) || text || chr(10)
+                              || 'hdr-' || source || chr(10) || text || chr(10)
+                              || 'tail-' || cast(doc_id % 3 as varchar) as content
+                       from documents),
+            l as (select doc_id, string_split(content, chr(10)) as ls from d),
+            e as (select doc_id, i, ls[i] as line, len(ls) as n_lines
+                  from l, unnest(range(1, len(ls) + 1)) as t(i)),
+            k as (select * from e
+                  qualify row_number() over (partition by doc_id, line
+                                             order by i) = 1)
+            select doc_id, cast(max(n_lines) as int) as n_lines,
+                   cast(max(n_lines) - count(*) as int) as n_removed,
+                   string_agg(line, chr(10) order by i) as content_clean
+            from k group by doc_id
         """,
         "batch_cut": """
             with r as (

@@ -949,6 +949,38 @@ def segment_dedup(
     )
 
 
+def line_dedup(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """WITHIN-document repeated-line removal (Gopher's intra-doc twin of
+    ``segment_dedup``'s corpus-global keep-first): drop every line after its
+    first occurrence inside the SAME document, rebuild the text in original
+    line order. Kills per-page repeated nav blocks / pagination artifacts
+    without touching other documents' copies (that's segment_dedup's job).
+    Rows: (id_col, n_lines, n_removed, content_clean).
+
+    Scale shape: ZERO shuffle — the dedup scope is one row, so the whole
+    operator is a codegen projection: ``filter(lines, (x, i) ->
+    array_position(lines, x) == i+1)`` keeps exactly the first occurrence of
+    each line. Per-row cost is O(lines² · line_len) via array_position —
+    bounded by document size, the right trade at corpus scale vs ANY
+    exploded/shuffled form (for pathological million-line docs, explode +
+    min(pos) per (id, line) + reassemble is the fallback; same result)."""
+    lines = F.split(F.col(content_col), sep, -1)
+    kept = F.filter(
+        lines, lambda x, i: F.array_position(lines, x) == (i + F.lit(1)).cast("bigint")
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(lines).alias("n_lines"),
+        (F.size(lines) - F.size(kept)).alias("n_removed"),
+        F.array_join(kept, sep).alias("content_clean"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # streaming dedup
 # ---------------------------------------------------------------------------

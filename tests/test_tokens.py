@@ -106,3 +106,29 @@ def test_quota_cap_plan_has_two_stage_window(spark):
     plan = quota_cap(df, "domain", "doc_id", 3)._jdf.queryExecution().executedPlan().toString()
     # two window operators: the salted partial and the per-key final
     assert plan.count("Window") >= 2
+
+
+def test_line_dedup_within_doc(spark):
+    from loongcollector_spark.operators.dedup import line_dedup
+
+    rows = [
+        (1, "a\nb\na\nc\nb"),   # a,b repeat → keep a,b,c in first-seen order
+        (2, "x\nx\nx"),
+        (3, "solo"),
+        (4, ""),                # one empty line, nothing removed
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, content string")
+    out = {r["doc_id"]: r for r in line_dedup(df).collect()}
+    assert out[1]["content_clean"] == "a\nb\nc"
+    assert out[1]["n_lines"] == 5 and out[1]["n_removed"] == 2
+    assert out[2]["content_clean"] == "x" and out[2]["n_removed"] == 2
+    assert out[3]["n_removed"] == 0 and out[3]["content_clean"] == "solo"
+    assert out[4]["n_lines"] == 1 and out[4]["n_removed"] == 0
+
+
+def test_line_dedup_no_shuffle_plan(spark):
+    from loongcollector_spark.operators.dedup import line_dedup
+
+    df = spark.createDataFrame([(1, "a\nb")], "doc_id int, content string")
+    plan = line_dedup(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure projection: within-row dedup scope
