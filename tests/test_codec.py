@@ -8,7 +8,9 @@ from pyspark.sql import functions as F
 from loongcollector_spark.codec import (
     decode_tokens_native,
     decode_tokens_pandas,
+    decode_tokens_utf8,
     encode_string_pandas,
+    with_content,
 )
 from loongcollector_spark.oracle import decode as py_decode
 
@@ -24,6 +26,42 @@ def test_decode_matches_python(seq_df):
     rows = seq_df.withColumn("c", decode_tokens_native("tokens")).select("tokens", "c").head(50)
     for r in rows:
         assert r["c"] == py_decode(r["tokens"])
+
+
+def test_utf8_hybrid_matches_pandas_on_corpus(seq_df):
+    d = seq_df.withColumn("c1", decode_tokens_utf8("tokens")).withColumn(
+        "c2", decode_tokens_pandas(F.col("tokens"))
+    )
+    assert d.filter(F.col("c1") != F.col("c2")).count() == 0
+
+
+def test_utf8_hybrid_non_ascii(spark):
+    """The default decode must be exact on multi-byte UTF-8 (where the bare
+    char() path emits per-byte Latin-1 codepoints instead)."""
+    samples = [
+        "plain ascii line",
+        "Hi é€",  # 2- and 3-byte sequences
+        "汉字 log 行",  # CJK
+        "emoji \U0001f600 tail",  # 4-byte sequence
+        "",
+    ]
+    df = spark.createDataFrame(
+        [(list(s.encode("utf-8")),) for s in samples] + [(None,)],
+        "tokens array<int>",
+    )
+    got = [r.c for r in df.withColumn("c", decode_tokens_utf8("tokens")).collect()]
+    assert got == samples + [None]
+    # with_content default ("auto") routes to the same hybrid
+    got2 = [r.content for r in with_content(df).collect()]
+    assert got2 == samples + [None]
+
+
+def test_utf8_hybrid_stays_jvm_side(seq_df):
+    """Plan shape: the default decode must not introduce a Python/Arrow eval
+    node — the flagship's decode stage rides whole-stage codegen."""
+    plan = with_content(seq_df)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "MapInArrow" not in plan
 
 
 def test_round_trip(seq_df):
