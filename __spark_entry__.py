@@ -1729,6 +1729,75 @@ def q_token_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_integrity(seqs, vocab_size=512, eos_id=511)
 
 
+def q_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window token chunking with overlap (window=32, stride=24,
+    min_len=8): the long-document training-prep step — each sequence is cut
+    on the stride grid with truncated tails dropped below min_len. Zero
+    shuffle: one generate+explode codegen projection per row
+    (operators/packing.py::chunk_sliding). Chunks are emitted as exact
+    comma-joined token csv so the oracle checks token-level equality."""
+    from loongcollector_spark.operators.packing import chunk_sliding
+
+    seqs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_TOK_SYNTH_SPARK).alias("tokens")
+    )
+    ch = chunk_sliding(seqs, window=32, stride=24, min_len=8)
+    return ch.select(
+        "doc_id",
+        "chunk_id",
+        "chunk_start",
+        F.array_join(F.transform("chunk", lambda x: x.cast("string")), ",").alias(
+            "chunk_csv"
+        ),
+        F.col("n_chunk_tok").cast("int").alias("n_chunk_tok"),
+    )
+
+
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget mixture selection: visit docs in md5(doc_id)
+    hash order and keep while the stratum's running token total ≤ budget
+    (src3 capped tighter). Exact distributed prefix sum — bucket by
+    the hash's first byte (order-preserving), tiny per-bucket offset agg,
+    within-bucket window — never a corpus-wide sort
+    (operators/sampling.py::token_budget_sample)."""
+    from loongcollector_spark.operators.sampling import token_budget_sample
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", (24 + F.col("doc_id") % 77).cast("long").alias("n_tok")
+    )
+    return token_budget_sample(
+        docs, default_budget=900, budgets={"src3": 400}, strata_col="source"
+    )
+
+
+def q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram-token JS divergence vs the corpus mixture (drift
+    monitor, computed on token ids with no decode). One corpus-sized explode
+    into a map-combined (source, token) agg; all JS math runs on the tiny
+    S×V aggregate (operators/tokens.py::source_drift). Source token profiles
+    differ by doc_id%16 phase, so divergences are nonzero and distinct."""
+    from loongcollector_spark.operators.tokens import source_drift
+
+    seqs = _t(spark, sf_dir, "documents").select(
+        "source", F.expr(_TOK_SYNTH_SPARK).alias("tokens")
+    )
+    return source_drift(seqs)
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: deterministic spherical k-means (k=8, centroids seeded from
+    the 8 lowest vec_ids, 1 Lloyd round) + within-cluster cosine ≥ 0.4
+    keep-lowest-id pruning (operators/dedup.py::semdedup). Assignment is a
+    zero-shuffle broadcast argmin; the only corpus shuffle is the
+    cluster-bounded self-join — the SemDeDup design point. The oracle
+    replays the identical float path (round-9 sims/centroids, round-4 pair
+    cosines)."""
+    from loongcollector_spark.operators.dedup import semdedup
+
+    e = _t(spark, sf_dir, "embeddings")
+    return semdedup(e, k=8, iters=1, tau=0.4)
+
+
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repeated-line removal (keep first occurrence, original
     order) — zero-shuffle codegen projection (dedup.py::line_dedup). Inputs
@@ -1892,6 +1961,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_quota": q_domain_quota,
         "token_integrity": q_token_integrity,
         "line_dedup": q_line_dedup,
+        "chunk_sliding": q_chunk_sliding,
+        "token_budget": q_token_budget,
+        "source_drift": q_source_drift,
+        "semdedup": q_semdedup,
         # --- r04 group 3: oldest-stale greens (last checked r02) ---
         "geoip": q_geoip,
         "pipeline_route_counts": q_pipeline_route_counts,
@@ -2616,6 +2689,100 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(emp) as bigint) as n_empty,
                    cast(sum(ntoks) as bigint) as tok_total
             from f group by source
+        """,
+        "semdedup": """
+            with v0 as (select vec_id,
+                               list_transform(embedding, x -> cast(x as double)) as e
+                        from embeddings),
+            n as (select vec_id,
+                         list_transform(e, x -> x / sqrt(list_sum(
+                             list_transform(e, y -> y * y)))) as v
+                  from v0),
+            init as (select cast(row_number() over (order by vec_id) - 1 as int)
+                              as cid,
+                            v as c
+                     from (select * from n order by vec_id limit 8)),
+            a1 as (select vec_id, v, cid from (
+                     select n.vec_id, n.v, i.cid,
+                            row_number() over (partition by n.vec_id order by
+                                round(-list_sum(list_transform(range(1, 65),
+                                      j -> n.v[j] * i.c[j])), 9), i.cid) as rn
+                     from n, init i) where rn = 1),
+            c1raw as (select cid, j as pos, round(avg(v[j]), 9) as m
+                      from a1, unnest(range(1, 65)) as t(j)
+                      group by cid, j),
+            c1l as (select cid, list(m order by pos) as cm from c1raw group by cid),
+            c1 as (select cid, list_transform(cm, x -> x / sqrt(list_sum(
+                       list_transform(cm, y -> y * y)))) as c
+                   from c1l),
+            a2 as (select vec_id, v, cid from (
+                     select n.vec_id, n.v, i.cid,
+                            row_number() over (partition by n.vec_id order by
+                                round(-list_sum(list_transform(range(1, 65),
+                                      j -> n.v[j] * i.c[j])), 9), i.cid) as rn
+                     from n, c1 i) where rn = 1),
+            p as (select b.vec_id, b.cid,
+                         max(round(list_sum(list_transform(range(1, 65),
+                             j -> a.v[j] * b.v[j])), 4)) as best
+                  from a2 a join a2 b on a.cid = b.cid and a.vec_id < b.vec_id
+                  group by b.vec_id, b.cid)
+            select a2.vec_id, a2.cid as cluster,
+                   coalesce(p.best >= 0.4, false) as is_dup,
+                   p.best as max_earlier_cos
+            from a2 left join p on a2.vec_id = p.vec_id and a2.cid = p.cid
+        """,
+        "source_drift": f"""
+            with seqs as (select source, {_TOK_SYNTH_DUCK} as tokens
+                          from documents),
+            tok as (select source as stratum, t as _t, count(*) as c
+                    from seqs, unnest(tokens) as u(t) group by 1, 2),
+            totals as (select stratum, sum(c) as n_src from tok group by 1),
+            gtok as (select _t, sum(c) as c_all from tok group by 1),
+            nall as (select sum(c_all) as n_all from gtok),
+            j as (select tok.stratum,
+                         cast(tok.c as double) / cast(totals.n_src as double) as p,
+                         cast(gtok.c_all as double) / cast(nall.n_all as double) as q
+                  from tok join totals using (stratum)
+                           join gtok using (_t), nall)
+            select stratum,
+                   cast(max(n_src) as bigint) as n_tok,
+                   cast(count(*) as bigint) as n_distinct,
+                   round(0.5 * sum(p * ln(2.0 * p / (p + q)))
+                         + 0.5 * (sum(q * ln(2.0 * q / (p + q)))
+                                  + 0.6931471805599453 * (1.0 - sum(q))), 6)
+                     as js_div
+            from j join totals using (stratum)
+            group by stratum
+        """,
+        "token_budget": """
+            with d as (select doc_id, source,
+                              cast(24 + doc_id % 77 as bigint) as n_tok,
+                              md5(cast(doc_id as varchar)) as h
+                       from documents),
+            c as (select doc_id, source as stratum, n_tok,
+                         sum(n_tok) over (partition by source order by h
+                                          rows unbounded preceding) as cum
+                  from d)
+            select doc_id, stratum, n_tok, cast(cum as bigint) as cum_tok
+            from c
+            where cum <= case when stratum = 'src3' then 400 else 900 end
+        """,
+        "chunk_sliding": f"""
+            with seqs as (select doc_id, {_TOK_SYNTH_DUCK} as tokens
+                          from documents),
+            s as (select doc_id, tokens, len(tokens) as n from seqs),
+            st as (select doc_id, tokens, n, cast(i as int) as chunk_start,
+                          cast(row_number() over (partition by doc_id
+                                                  order by i) - 1 as int)
+                            as chunk_id
+                   from s, unnest(range(1, n + 1, 24)) as t(i)
+                   where n - i + 1 >= 8)
+            select doc_id, chunk_id, chunk_start,
+                   array_to_string(list_transform(
+                       tokens[chunk_start:chunk_start + 31],
+                       x -> cast(x as varchar)), ',') as chunk_csv,
+                   cast(least(32, n - chunk_start + 1) as int) as n_chunk_tok
+            from st
         """,
         "line_dedup": """
             with d as (select doc_id,

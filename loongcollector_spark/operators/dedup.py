@@ -1250,3 +1250,109 @@ def cluster_survivors(
             (F.col(id_col) != F.col("survivor_doc_id")).alias("is_drop"),
         )
     )
+
+
+def semdedup(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 1,
+    tau: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup via k-means clustering of
+    embeddings + within-cluster cosine pruning — near-duplicates in MEANING
+    (paraphrases, templated rewrites) that MinHash/SimHash token methods
+    can't see. Keep-lowest-id within each semantic duplicate set.
+
+    Deterministic spherical k-means: centroids initialize from the k
+    lowest-id vectors, ``iters`` Lloyd rounds (assign → mean → renormalize),
+    similarities rounded at 9 for tie-stable argmax (ties break to the
+    lowest centroid id), centroid components rounded at 9 so a SQL oracle
+    replays the float math across engines. Then, within each final cluster,
+    a vector is a duplicate iff some LOWER-id member has cosine ≥ τ
+    (compared on the value rounded at 4 — see embedding_dup_pairs_exact's
+    note on cross-engine FP-sum divergence).
+
+    Rows out: ``(id, cluster, is_dup, max_earlier_cos)`` — max_earlier_cos
+    is null for a cluster's lowest-id member.
+
+    Scale shape: assignment is a broadcast crossJoin against k centroid rows
+    (k rows — never a shuffle of the corpus); the recompute step aggregates
+    k×dim cells map-side; the ONLY corpus shuffle is the final
+    within-cluster self-join, which is the SemDeDup design point — clusters
+    bound the pair blowup to Σ|C_i|², with k chosen ~√N (the paper uses
+    50k clusters for LAION) so the expected cluster stays constant-sized.
+    At 10^11 vectors the same plan holds with the k-row "broadcast" swapped
+    for a bucketed centroid join; no Python in the iteration loop (the
+    driver-side ``for`` builds ONE lazy plan)."""
+    v = df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_e")
+    )
+    l2 = F.sqrt(F.aggregate("_e", F.lit(0.0), lambda a, x: a + x * x))
+    v = v.select("_id", F.transform("_e", lambda x: x / l2).alias("_v")).cache()
+    # init: k lowest ids via TakeOrdered (orderBy+limit — NOT a full sort);
+    # the row_number window runs on the k-row result only
+    cent = (
+        v.orderBy("_id")
+        .limit(k)
+        .withColumn("_cid", (F.row_number().over(Window.orderBy("_id")) - 1).cast("int"))
+        .select("_cid", F.col("_v").alias("_c"))
+    )
+
+    def dot(a, b):
+        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda ac, x: ac + x)
+
+    def assign(cent_df):
+        # zero-shuffle argmax: all k centroids ride in as ONE broadcast row
+        # holding array<struct<cid,c>>; per-row argmin is array_min over a
+        # transform (lexicographic struct min = best sim, ties -> lowest cid)
+        cent_row = cent_df.agg(
+            F.array_sort(F.collect_list(F.struct("_cid", "_c"))).alias("_cents")
+        )
+        best = F.array_min(
+            F.transform(
+                "_cents",
+                lambda s: F.struct(
+                    F.round(-dot(F.col("_v"), s["_c"]), 9).alias("d"),
+                    s["_cid"].alias("cid"),
+                ),
+            )
+        )
+        return v.crossJoin(F.broadcast(cent_row)).select(
+            "_id", "_v", best["cid"].alias("_cid")
+        )
+
+    for _ in range(iters):
+        a = assign(cent)
+        raw = (
+            a.select("_cid", F.posexplode("_v").alias("_pos", "_val"))
+            .groupBy("_cid", "_pos")
+            .agg(F.round(F.avg("_val"), 9).alias("_m"))
+        )
+        lists = raw.groupBy("_cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_m"))), lambda s: s["_m"]
+            ).alias("_cm")
+        )
+        cl2 = F.sqrt(F.aggregate("_cm", F.lit(0.0), lambda ac, x: ac + x * x))
+        cent = lists.select("_cid", F.transform("_cm", lambda x: x / cl2).alias("_c"))
+
+    final = assign(cent)
+    a_lo = final.select(F.col("_id").alias("_id_a"), F.col("_v").alias("_va"), F.col("_cid").alias("_cid"))
+    a_hi = final.select(F.col("_id").alias("_id_b"), F.col("_v").alias("_vb"), F.col("_cid").alias("_cid"))
+    best = (
+        a_lo.join(a_hi, "_cid")
+        .filter(F.col("_id_a") < F.col("_id_b"))
+        .groupBy("_id_b", "_cid")
+        .agg(F.max(F.round(dot(F.col("_va"), F.col("_vb")), 4)).alias("max_earlier_cos"))
+    )
+    return (
+        final.join(best, (final["_id"] == best["_id_b"]) & (final["_cid"] == best["_cid"]), "left")
+        .select(
+            final["_id"].alias(id_col),
+            final["_cid"].alias("cluster"),
+            F.coalesce(F.col("max_earlier_cos") >= F.lit(tau), F.lit(False)).alias("is_dup"),
+            "max_earlier_cos",
+        )
+    )

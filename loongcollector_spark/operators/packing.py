@@ -59,3 +59,55 @@ def pack_chunks(
         "chunk_last",
         (F.col("chunk_last") - F.col("chunk_first") + 1).alias("n_chunks"),
     )
+
+
+def chunk_sliding(
+    df: DataFrame,
+    window: int,
+    stride: int,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    min_len: int = 1,
+) -> DataFrame:
+    """Sliding-window token chunking with overlap (the long-document
+    alternative to concat-and-chunk packing: each document is cut into
+    ``window``-token chunks every ``stride`` tokens, so consecutive chunks
+    overlap by ``window - stride`` tokens — the standard way to train on
+    documents longer than the context without losing cross-boundary spans).
+
+    Rows out: ``(id, chunk_id, chunk_start, chunk array<int>, n_chunk_tok)``
+    with ``chunk_start`` 1-based; starts are 1, 1+stride, … while they land
+    inside the document; chunks are truncated at the document end, and a
+    start is emitted only if its chunk carries ≥ ``min_len`` tokens.
+    Documents shorter than ``min_len`` emit nothing.
+
+    Scale shape: ZERO shuffle — one generate+explode projection per row; the
+    output is a pure function of each row alone, so it pipelines inside the
+    scan stage at any corpus size. No Python, no window function.
+    """
+    if window < 1 or stride < 1:
+        raise ValueError("window and stride must be >= 1")
+    toks = F.col(tokens_col)
+    # the stride grid 1, 1+S, … capped at len enumerates every chunk start;
+    # a start survives iff its (possibly truncated) chunk carries >= min_len
+    starts = F.when(
+        F.size(toks) >= 1,
+        F.filter(
+            F.sequence(F.lit(1), F.size(toks), F.lit(stride)),
+            lambda s: F.size(toks) - s + 1 >= F.lit(min_len),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    out = df.select(
+        F.col(id_col),
+        F.posexplode(starts).alias("chunk_id", "chunk_start"),
+        toks.alias("_t"),
+    )
+    return out.select(
+        id_col,
+        "chunk_id",
+        "chunk_start",
+        F.slice(F.col("_t"), F.col("chunk_start"), window).alias("chunk"),
+        F.least(
+            F.lit(window), F.size(F.col("_t")) - F.col("chunk_start") + 1
+        ).alias("n_chunk_tok"),
+    )

@@ -217,3 +217,78 @@ def length_batching(
             6,
         ).alias("pad_frac"),
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    default_budget: int,
+    budgets: dict[str, int] | None = None,
+    strata_col: str = "source",
+    count_col: str = "n_tok",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source token-budget selection: within each stratum, documents are
+    visited in deterministic hash order (md5 of the id — a reproducible
+    shuffle) and kept while the running token total stays within the
+    stratum's budget. This is the "take N tokens per domain" mixture builder
+    (the token-denominated twin of per-domain document caps): budgets come
+    straight out of ``mixture_weights``-style target shares × total token
+    goal.
+
+    Rows out: ``(id, stratum, count, cum_tok)`` for KEPT docs only —
+    ``cum_tok`` is the inclusive running total (≤ budget; the doc that would
+    cross the budget is dropped, as are all later ones in hash order).
+
+    Scale shape — exact distributed prefix sum, NO corpus-wide sort window:
+    the sort key IS the md5 hex string, so bucketing by its first byte
+    (``conv(substr(h,1,2),16,10)``) is order-preserving across buckets and
+    uniform by construction (a 10^11-doc hot source splits into 256 parallel
+    tasks instead of one sorting reducer). Three steps:
+      1. per-(stratum, bucket) token sums — a tiny map-combined agg
+         (S×256 rows);
+      2. exclusive cumsum of those sums per stratum — a window over the
+         TINY aggregate, then broadcast-joined back as each bucket's offset;
+      3. within-bucket inclusive cumsum (window per (stratum, bucket), keyed
+         by the full hash) + offset = the exact global running total.
+    Deterministic end-to-end, so the DuckDB oracle (one plain window) agrees
+    row-for-row with the salted three-step plan.
+    """
+    h = F.md5(F.col(id_col).cast("string"))
+    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    base = df.select(
+        F.col(id_col),
+        F.col(strata_col).alias("stratum"),
+        F.col(count_col).cast("long").alias("_c"),
+        h.alias("_h"),
+        bucket.alias("_b"),
+    )
+    per_bucket = base.groupBy("stratum", "_b").agg(F.sum("_c").alias("_bsum"))
+    w_off = (
+        Window.partitionBy("stratum")
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per_bucket.select(
+        "stratum", "_b", F.coalesce(F.sum("_bsum").over(w_off), F.lit(0)).alias("_off")
+    )
+    w_in = (
+        Window.partitionBy("stratum", "_b")
+        .orderBy("_h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    if budgets:
+        pairs = [x for kv in budgets.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
+        # try_element_at: ANSI mode (the driver's session) errors on a
+        # missing map key with plain element_at
+        budget = F.coalesce(
+            F.try_element_at(F.create_map(*pairs), F.col("stratum")),
+            F.lit(default_budget),
+        ).cast("long")
+    else:
+        budget = F.lit(default_budget).cast("long")
+    return (
+        base.join(F.broadcast(offsets), ["stratum", "_b"])
+        .withColumn("cum_tok", (F.col("_off") + F.sum("_c").over(w_in)).cast("long"))
+        .filter(F.col("cum_tok") <= budget)
+        .select(id_col, "stratum", F.col("_c").alias(count_col), "cum_tok")
+    )

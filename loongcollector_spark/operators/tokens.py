@@ -197,3 +197,63 @@ def token_integrity(
             F.sum("_n").alias("tok_total"),
         )
     )
+
+
+def source_drift(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    strata_col: str = "source",
+) -> DataFrame:
+    """Per-source token-distribution drift vs the corpus mixture: the
+    Jensen–Shannon divergence (natural log; 0 ≤ JS ≤ ln 2) between each
+    source's unigram token distribution P and the whole-corpus distribution
+    Q — the standard monitor for "did this crawl snapshot / domain shift
+    under the tokenizer" before a training run. Computed on token ids
+    directly, no decode.
+
+    Rows out: ``(stratum, n_tok, n_distinct, js_div)`` — js_div rounded to 6
+    (cross-engine FP-sum tolerance).
+
+    Scale shape: ONE explode into a map-side-combined hash agg keyed
+    (source, token_id) — the agg output is S×V rows (V = vocab ≤ 10^5-ish),
+    so everything downstream (global counts, totals, the JS sum itself) runs
+    on a broadcast-sized aggregate. The only corpus-sized pass is the first
+    projection; no window, no Python, no all-pairs. Tokens absent from a
+    source contribute q·ln2 to KL(Q‖M) — folded in exactly via the closed
+    form ln2·(1 − Σ_present q) instead of materializing S×V zero rows.
+    """
+    tok = (
+        df.select(F.col(strata_col).alias("stratum"), F.explode(tokens_col).alias("_t"))
+        .groupBy("stratum", "_t")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    totals = tok.groupBy("stratum").agg(F.sum("_c").alias("_n_src"))
+    glob = tok.groupBy("_t").agg(F.sum("_c").alias("_c_all"))
+    n_all = glob.agg(F.sum("_c_all").alias("_n_all"))
+    j = (
+        tok.join(F.broadcast(totals), "stratum")
+        .join(F.broadcast(glob), "_t")
+        .crossJoin(F.broadcast(n_all))
+    )
+    p = F.col("_c").cast("double") / F.col("_n_src").cast("double")
+    q = F.col("_c_all").cast("double") / F.col("_n_all").cast("double")
+    term_p = p * F.log(F.lit(2.0) * p / (p + q))
+    term_q = q * F.log(F.lit(2.0) * q / (p + q))
+    agg = j.groupBy("stratum").agg(
+        F.max("_n_src").alias("n_tok"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(term_p).alias("_sp"),
+        F.sum(term_q).alias("_sq"),
+        F.sum(q).alias("_qcov"),
+    )
+    ln2 = 0.6931471805599453
+    return agg.select(
+        "stratum",
+        F.col("n_tok").cast("bigint").alias("n_tok"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        F.round(
+            0.5 * F.col("_sp")
+            + 0.5 * (F.col("_sq") + F.lit(ln2) * (F.lit(1.0) - F.col("_qcov"))),
+            6,
+        ).alias("js_div"),
+    )

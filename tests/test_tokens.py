@@ -132,3 +132,30 @@ def test_line_dedup_no_shuffle_plan(spark):
     df = spark.createDataFrame([(1, "a\nb")], "doc_id int, content string")
     plan = line_dedup(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # pure projection: within-row dedup scope
+
+
+def test_source_drift_analytic(spark):
+    """JS properties: a source matching the corpus mixture has js ~ 0 for the
+    degenerate one-source corpus; two token-disjoint sources land at the
+    analytic value of JS(P, M) where M is the 50/50 corpus mixture."""
+    import math
+    from loongcollector_spark.operators.tokens import source_drift
+
+    # one source only: P == Q exactly -> js = 0
+    one = spark.createDataFrame([("a", [1, 2, 3, 1]), ("a", [2, 3])],
+                                "source string, tokens array<int>")
+    r = source_drift(one).collect()
+    assert len(r) == 1 and abs(r[0]["js_div"]) < 1e-9
+    assert r[0]["n_tok"] == 6 and r[0]["n_distinct"] == 3
+
+    # two disjoint equal-mass sources: corpus q = p/2 on each side's support,
+    # js per source = 0.5*ln(4/3) + 0.5*(0.5*ln(2/3) + ln2*0.5)
+    two = spark.createDataFrame(
+        [("a", [1] * 4), ("b", [2] * 4)], "source string, tokens array<int>"
+    )
+    expect = 0.5 * math.log(4.0 / 3.0) + 0.5 * (
+        0.5 * math.log(2.0 / 3.0) + math.log(2.0) * 0.5
+    )
+    got = {r["stratum"]: r["js_div"] for r in source_drift(two).collect()}
+    assert abs(got["a"] - round(expect, 6)) < 2e-6
+    assert got["a"] == got["b"]

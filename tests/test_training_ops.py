@@ -544,6 +544,91 @@ def test_pack_chunks_boundaries(spark):
     assert (out[6]["shard"], out[6]["chunk_first"], out[6]["chunk_last"]) == ("b", 0, 1)
 
 
+def test_chunk_sliding(spark):
+    from loongcollector_spark.operators.packing import chunk_sliding
+
+    df = spark.createDataFrame(
+        [
+            (1, list(range(10))),  # W=8,S=4: starts 1,5,9 -> lens 8,6,2
+            (2, list(range(3))),   # shorter than min_len=4 -> nothing
+            (3, list(range(8))),   # full window + a min_len-sized tail
+            (4, []),               # empty -> nothing
+        ],
+        "doc_id int, tokens array<int>",
+    )
+    rows = chunk_sliding(df, window=8, stride=4, min_len=4).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: start 9 gives only 2 tokens < min_len -> dropped
+    got1 = sorted((r["chunk_id"], r["chunk_start"], r["n_chunk_tok"], r["chunk"]) for r in by_doc[1])
+    assert got1 == [(0, 1, 8, list(range(8))), (1, 5, 6, list(range(4, 10)))]
+    assert 2 not in by_doc and 4 not in by_doc
+    got3 = sorted((r["chunk_start"], r["chunk"]) for r in by_doc[3])
+    assert got3 == [(1, list(range(8))), (5, [4, 5, 6, 7])]
+    # overlap invariant: consecutive chunks share window - stride tokens
+    assert got1[0][3][4:] == got1[1][3][:4]
+
+
+def test_semdedup_planted(spark):
+    from loongcollector_spark.operators.dedup import semdedup
+
+    # two well-separated directions; ids 10/11 are near-copies of id 0's
+    # direction, id 20 is a near-copy of id 1's — both must be flagged;
+    # the orthogonal singletons must survive
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (10, [0.99, 0.01, 0.0, 0.0]),
+        (11, [0.98, 0.0, 0.02, 0.0]),
+        (20, [0.01, 0.99, 0.0, 0.0]),
+        (30, [0.0, 0.0, 1.0, 0.0]),  # far from both seeds
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    out = {r["vec_id"]: r for r in semdedup(df, k=2, iters=1, tau=0.95).collect()}
+    assert out[10]["is_dup"] and out[11]["is_dup"] and out[20]["is_dup"]
+    assert not out[0]["is_dup"] and not out[1]["is_dup"] and not out[30]["is_dup"]
+    # dups co-cluster with their seed
+    assert out[10]["cluster"] == out[0]["cluster"] == out[11]["cluster"]
+    assert out[20]["cluster"] == out[1]["cluster"]
+    assert out[10]["max_earlier_cos"] >= 0.99
+    # keep-lowest-id: the seed itself has no earlier neighbor above tau
+    assert out[0]["max_earlier_cos"] is None
+
+
+def test_token_budget_sample(spark):
+    from pyspark.sql import Window
+    from loongcollector_spark.operators.sampling import token_budget_sample
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 3 else "b", 10 + i % 7) for i in range(400)],
+        "doc_id int, source string, n_tok int",
+    )
+    got = token_budget_sample(df, default_budget=800, budgets={"b": 300}).collect()
+    # reference: plain per-stratum window over the same hash order
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ref = (
+        df.withColumn("cum", F.sum(F.col("n_tok").cast("long")).over(w))
+        .filter(
+            F.col("cum") <= F.when(F.col("source") == "b", 300).otherwise(800)
+        )
+        .collect()
+    )
+    assert {(r["doc_id"], r["cum_tok"]) for r in got} == {
+        (r["doc_id"], r["cum"]) for r in ref
+    }
+    # budgets actually bite and are honored per stratum
+    by_src = {}
+    for r in got:
+        by_src[r["stratum"]] = max(by_src.get(r["stratum"], 0), r["cum_tok"])
+    assert 0 < by_src["a"] <= 800 and 0 < by_src["b"] <= 300
+    assert len(got) < 400
+
+
 def test_pii_redact(spark):
     from loongcollector_spark.operators.text import pii_redact
 
