@@ -1798,6 +1798,86 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup(e, k=8, iters=1, tau=0.4)
 
 
+def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch point queries over token bigrams: build a 4×512
+    sketch (ONE explode + ONE map-combined hash agg onto the fixed cell
+    space — the corpus items are never shuffled), then estimate frequencies
+    for the distinct bigrams of docs 0–4. Estimates are one-sided overcounts;
+    the oracle replays the identical md5 cell math
+    (operators/sketch.py::cms_build/cms_estimate)."""
+    from loongcollector_spark.operators.sketch import cms_build, cms_estimate
+
+    seqs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_TOK_SYNTH_SPARK).alias("tokens")
+    )
+    bg = seqs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(tokens) - 1), i -> "
+                "concat(cast(element_at(tokens, i) as string), ',', "
+                "cast(element_at(tokens, i + 1) as string)))"
+            )
+        ).alias("bigram"),
+    )
+    sketch = cms_build(bg, F.col("bigram"), depth=4, width=512)
+    probes = bg.filter("doc_id < 5").select("bigram").distinct()
+    return cms_estimate(sketch, probes, F.col("bigram"), depth=4, width=512)
+
+
+def q_parse_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """processor_csv / quoted-delimiter FSM (from_csv): parse RFC-4180 lines
+    with embedded separators AND escaped quotes inside quoted fields —
+    constructed deterministically from known parts, so the oracle is the
+    round-trip truth (the constructor inputs) while Spark must actually run
+    the quote state machine (operators/parse.py::csv_fields,
+    ProcessorParseDelimiterNative.cpp:251-256 semantics)."""
+    from loongcollector_spark.operators.parse import parse_delimiter
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.expr(
+            "concat('v', cast(doc_id as string), ',',"
+            "'\"a,b-', cast(doc_id % 5 as string), '\",',"
+            "'\"q\"\"q-', cast(doc_id % 3 as string), '\",',"
+            "source)"
+        ).alias("content"),
+    )
+    parsed = parse_delimiter(
+        d, keys=["c1", "c2", "c3", "c4"], separator=",", quote='"'
+    )
+    return parsed.select(
+        "doc_id",
+        F.try_element_at("fields", F.lit("c1")).alias("c1"),
+        F.try_element_at("fields", F.lit("c2")).alias("c2"),
+        F.try_element_at("fields", F.lit("c3")).alias("c3"),
+        F.try_element_at("fields", F.lit("c4")).alias("c4"),
+    )
+
+
+def q_tag_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """processor_tag_native: inject host/env group tags on every row
+    (operators/parse.py::add_tags — merge_maps keeps user tags, fills
+    pipeline tags). Emitted as sorted k=v csv for the oracle."""
+    from loongcollector_spark.operators.enrich import add_tags
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", F.create_map(F.lit("user"), F.col("user_id").cast("string")).alias("tags")
+    )
+    out = add_tags(ev, {"__hostname__": "spark-node", "__pipeline__": "flagship"})
+    return out.select(
+        "event_id",
+        F.array_join(
+            F.transform(
+                F.array_sort(F.map_entries("tags")),
+                lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+            ),
+            ",",
+        ).alias("tags_csv"),
+    )
+
+
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repeated-line removal (keep first occurrence, original
     order) — zero-shuffle codegen projection (dedup.py::line_dedup). Inputs
@@ -1965,6 +2045,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget": q_token_budget,
         "source_drift": q_source_drift,
         "semdedup": q_semdedup,
+        "cms_counts": q_cms_counts,
+        "parse_csv": q_parse_csv,
+        "tag_native": q_tag_native,
         # --- r04 group 3: oldest-stale greens (last checked r02) ---
         "geoip": q_geoip,
         "pipeline_route_counts": q_pipeline_route_counts,
@@ -2689,6 +2772,45 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(emp) as bigint) as n_empty,
                    cast(sum(ntoks) as bigint) as tok_total
             from f group by source
+        """,
+        "parse_csv": """
+            select doc_id,
+                   'v' || cast(doc_id as varchar) as c1,
+                   'a,b-' || cast(doc_id % 5 as varchar) as c2,
+                   'q"q-' || cast(doc_id % 3 as varchar) as c3,
+                   source as c4
+            from documents
+        """,
+        "tag_native": """
+            select event_id,
+                   '__hostname__=spark-node,__pipeline__=flagship,user='
+                   || cast(user_id as varchar) as tags_csv
+            from events
+        """,
+        "cms_counts": f"""
+            with seqs as (select doc_id, {_TOK_SYNTH_DUCK} as tokens
+                          from documents),
+            bg as (select doc_id,
+                          cast(tokens[i] as varchar) || ',' ||
+                          cast(tokens[i + 1] as varchar) as bigram
+                   from seqs, unnest(range(1, len(tokens))) as t(i)),
+            cells as (select r,
+                             cast(('0x' || substr(md5('cms' || cast(r as varchar)
+                                  || ':' || bigram), 1, 15))::bigint % 512 as int)
+                               as col,
+                             count(*) as c
+                      from bg, unnest(range(0, 4)) as rr(r)
+                      group by 1, 2),
+            probes as (select distinct bigram from bg where doc_id < 5),
+            fan as (select p.bigram, rr.r,
+                           cast(('0x' || substr(md5('cms' || cast(rr.r as varchar)
+                                || ':' || p.bigram), 1, 15))::bigint % 512 as int)
+                             as col
+                    from probes p, unnest(range(0, 4)) as rr(r))
+            select fan.bigram,
+                   cast(min(coalesce(cells.c, 0)) as bigint) as est
+            from fan left join cells on fan.r = cells.r and fan.col = cells.col
+            group by fan.bigram
         """,
         "semdedup": """
             with v0 as (select vec_id,

@@ -363,11 +363,14 @@ def csv_fields(
 ) -> tuple[Column, Column]:
     """Quoted delimiter mode via from_csv (FSM semantics,
     ProcessorParseDelimiterNative.cpp:251-256). Also serves processor_csv
-    (plugins/processor/csv/processor_csv.go:30)."""
+    (plugins/processor/csv/processor_csv.go:30). ``escape`` is set to the
+    quote char for RFC-4180 doubled-quote unescaping ("" → ") — Go
+    encoding/csv and the native FSM both do this; Spark's univocity default
+    (backslash escape) would leave the doubled quotes in the value."""
     en = F.lit(True) if enabled is None else enabled
     gated = src if enabled is None else F.when(en, src)
     schema = ", ".join(f"`{k}` string" for k in keys)
-    st = F.from_csv(gated, schema, {"sep": separator, "quote": quote})
+    st = F.from_csv(gated, schema, {"sep": separator, "quote": quote, "escape": quote})
     ok = st.isNotNull() & st[keys[0]].isNotNull()
     entries = [_opt_entry(k, st[k], en & st[k].isNotNull()) for k in keys]
     entries.extend(_policy_entries(src, ok, en, opts))

@@ -121,3 +121,96 @@ def hll_distinct(
         F.col("nonzero_buckets").cast("long").alias("nonzero_buckets"),
         F.col("z_scaled").cast("long").alias("z_scaled"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005)
+# ---------------------------------------------------------------------------
+
+def _cms_cells(item: Column, depth: int, width: int) -> Column:
+    """array<struct<r,col>> of the item's ``depth`` sketch cells: the
+    repo-standard md5→60-bit hash, salted per row — replayable verbatim in
+    DuckDB (``('0x'||substr(md5('cms'||r||':'||item),1,15))::bigint % width``)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(depth - 1)),
+        lambda r: F.struct(
+            r.cast("int").alias("r"),
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("cms"), r.cast("string"), F.lit(":"), item)),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint"),
+                F.lit(width),
+            ).cast("int").alias("col"),
+        ),
+    )
+
+
+def cms_build(
+    df: DataFrame,
+    item: Column,
+    depth: int = 4,
+    width: int = 1024,
+    weight: Column | None = None,
+) -> DataFrame:
+    """Count-Min sketch over an item stream: ``depth`` independent hash rows ×
+    ``width`` counters; estimate(x) = min over rows of cell[r, h_r(x)] —
+    always an OVERcount (one-sided error ≤ εN with ε = e/width at the
+    standard depth, Cormode & Muthukrishnan 2005). The point-query sibling of
+    hll_distinct: frequency ("how often did this token/URL/user appear")
+    instead of cardinality, in fixed space.
+
+    Returns the sketch as ``(r, col, c)`` rows — at most depth×width of them,
+    regardless of corpus size.
+
+    Scale shape: ONE projection fans each item to its ``depth`` (r, col)
+    cells, then ONE map-side-combined hash agg onto the depth×width cell
+    space — the shuffle moves ≤ depth×width partial cells per map task, never
+    the items. Sketches are MERGEABLE by construction (cells add), so
+    per-partition / per-day sketches union + re-agg into the global one —
+    the property that makes CMS the standard streaming/distributed counter.
+    """
+    cells = _cms_cells(item, depth, width)
+    w = F.lit(1).cast("bigint") if weight is None else weight.cast("bigint")
+    return (
+        df.select(F.explode(cells).alias("_cell"), w.alias("_w"))
+        .groupBy(F.col("_cell.r").alias("r"), F.col("_cell.col").alias("col"))
+        .agg(F.sum("_w").alias("c"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    item: Column,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-query the sketch for each probe row: ``est`` = min over the
+    ``depth`` cells addressed by the probe's item (missing cell → 0; the
+    sketch omits never-hit cells).
+
+    Scale shape: probes fan out to depth rows, equi-join the ≤depth×width-row
+    sketch (broadcast — the sketch is fixed-size by construction), one
+    min-agg back. The corpus itself is never touched at query time.
+    """
+    keyed = probes.withColumn("_item", item)
+    fan = keyed.select(
+        "*", F.explode(_cms_cells(F.col("_item"), depth, width)).alias("_cell")
+    )
+    joined = fan.join(
+        F.broadcast(sketch),
+        (fan["_cell.r"] == sketch["r"]) & (fan["_cell.col"] == sketch["col"]),
+        "left",
+    )
+    group_cols = [c for c in probes.columns]
+    return (
+        joined.groupBy(*group_cols, "_item")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est"))
+        .drop("_item")
+    )

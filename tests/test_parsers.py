@@ -105,6 +105,14 @@ def test_delimiter_shortened(spark):
     assert f == {"x": "a", "y": "b"}
 
 
+def test_delimiter_quoted_rfc4180_escaped_quote(spark):
+    """Doubled quotes inside a quoted field unescape to one quote — Go
+    encoding/csv / the native FSM behavior (escape=quote, not backslash)."""
+    df = _df(spark, ['a,"say ""hi"", ok",c'])
+    f = _fields(P.parse_delimiter(df, ["x", "y", "z"], ",", quote='"'))[0]
+    assert f == {"x": "a", "y": 'say "hi", ok', "z": "c"}
+
+
 def test_delimiter_trims_spaces(spark):
     df = _df(spark, [" a | b | c "])
     assert _fields(P.parse_delimiter(df, ["x", "y", "z"], "|"))[0] == {"x": "a", "y": "b", "z": "c"}

@@ -570,6 +570,35 @@ def test_chunk_sliding(spark):
     assert got1[0][3][4:] == got1[1][3][:4]
 
 
+def test_cms_overcount_and_merge(spark):
+    from loongcollector_spark.operators.sketch import cms_build, cms_estimate
+
+    rows = [(i, f"k{i % 37}") for i in range(2000)] + [(9999, "hot")] * 300
+    df = spark.createDataFrame(rows, "i int, k string")
+    sk = cms_build(df, F.col("k"), depth=4, width=256)
+    probes = df.select("k").distinct()
+    est = {r["k"]: r["est"] for r in cms_estimate(sk, probes, F.col("k"), depth=4, width=256).collect()}
+    exact = {r["k"]: r["c"] for r in df.groupBy("k").agg(F.count("*").alias("c")).collect()}
+    # one-sided error: CMS never undercounts
+    for k, c in exact.items():
+        assert est[k] >= c, (k, est[k], c)
+    # with 38 keys in a 4x256 sketch, collisions are rare: most are exact
+    assert sum(est[k] == exact[k] for k in exact) >= 35
+    assert est["hot"] >= 300
+
+    # mergeability: per-half sketches union + re-agg == whole-corpus sketch
+    h1 = cms_build(df.filter("i % 2 = 0"), F.col("k"), depth=4, width=256)
+    h2 = cms_build(df.filter("i % 2 = 1"), F.col("k"), depth=4, width=256)
+    merged = h1.unionByName(h2).groupBy("r", "col").agg(F.sum("c").alias("c"))
+    diff = (
+        merged.alias("m")
+        .join(sk.alias("s"), ["r", "col"], "full")
+        .filter("coalesce(m.c, -1) != coalesce(s.c, -2)")
+        .count()
+    )
+    assert diff == 0
+
+
 def test_semdedup_planted(spark):
     from loongcollector_spark.operators.dedup import semdedup
 
