@@ -1878,6 +1878,20 @@ def q_tag_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source token 6-gram Jaccard contamination matrix — the
+    corpus-level leakage audit between every source pair. Inverted-index
+    shape: distinct (source, md5-gram) agg, per-gram pair join bounded by S²
+    per gram, broadcast size joins (operators/tokens.py::
+    source_overlap_matrix)."""
+    from loongcollector_spark.operators.tokens import source_overlap_matrix
+
+    seqs = _t(spark, sf_dir, "documents").select(
+        "source", F.expr(_TOK_SYNTH_SPARK).alias("tokens")
+    )
+    return source_overlap_matrix(seqs, k=6)
+
+
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repeated-line removal (keep first occurrence, original
     order) — zero-shuffle codegen projection (dedup.py::line_dedup). Inputs
@@ -2048,6 +2062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_counts": q_cms_counts,
         "parse_csv": q_parse_csv,
         "tag_native": q_tag_native,
+        "source_overlap": q_source_overlap,
         # --- r04 group 3: oldest-stale greens (last checked r02) ---
         "geoip": q_geoip,
         "pipeline_route_counts": q_pipeline_route_counts,
@@ -2772,6 +2787,26 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(emp) as bigint) as n_empty,
                    cast(sum(ntoks) as bigint) as tok_total
             from f group by source
+        """,
+        "source_overlap": f"""
+            with seqs as (select source, {_TOK_SYNTH_DUCK} as tokens
+                          from documents),
+            g as (select distinct source as s,
+                         md5(array_to_string(tokens[i:i+5], ',')) as key
+                  from seqs,
+                       unnest(range(1, greatest(len(tokens) - 5, 0) + 1)) as t(i)),
+            sizes as (select s, count(*) as n from g group by 1),
+            inter as (select a.s as src_a, b.s as src_b, count(*) as inter
+                      from g a join g b on a.key = b.key and a.s < b.s
+                      group by 1, 2)
+            select src_a, src_b,
+                   cast(sa.n as bigint) as grams_a,
+                   cast(sb.n as bigint) as grams_b,
+                   cast(inter as bigint) as inter,
+                   round(inter / cast(sa.n + sb.n - inter as double), 6)
+                     as jaccard
+            from inter join sizes sa on sa.s = src_a
+                       join sizes sb on sb.s = src_b
         """,
         "parse_csv": """
             select doc_id,

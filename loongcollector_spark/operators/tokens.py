@@ -257,3 +257,70 @@ def source_drift(
             6,
         ).alias("js_div"),
     )
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    strata_col: str = "source",
+    k: int = 6,
+) -> DataFrame:
+    """Cross-source contamination matrix: token k-gram Jaccard overlap
+    between every pair of sources — the corpus-level leakage audit ("how much
+    of benchmark-source B's content appears in crawl-source A") that runs
+    BEFORE per-document decontamination is worth pointing anywhere.
+
+    Rows out: ``(src_a, src_b, grams_a, grams_b, inter, jaccard)`` for
+    src_a < src_b, jaccard = |∩| / |∪| over DISTINCT k-gram sets, rounded 6.
+
+    Scale shape (inverted index, never doc-pairs): distinct (source, gram)
+    via one map-combined agg on the md5 gram key; per-gram source lists
+    self-join into pair rows — a gram shared by m sources emits m(m-1)/2
+    pairs, bounded by S² per gram (S = #sources, tens) independent of corpus
+    size; per-source set sizes come from the same aggregate. No window, no
+    Python, no quadratic blowup in documents.
+    """
+    toks = F.col(tokens_col)
+    grams = (
+        df.select(
+            F.col(strata_col).alias("_s"),
+            F.explode(
+                F.when(
+                    F.size(toks) >= k,
+                    F.transform(
+                        F.sequence(F.lit(1), (F.size(toks) - F.lit(k - 1))),
+                        lambda i: F.slice(toks, i, k),
+                    ),
+                ).otherwise(F.array().cast("array<array<int>>"))
+            ).alias("_gram"),
+        )
+        .select("_s", _gram_key(F.col("_gram")).alias("_key"))
+        .distinct()
+    )
+    sizes = grams.groupBy("_s").agg(F.count(F.lit(1)).alias("_n"))
+    a = grams.select(F.col("_s").alias("src_a"), "_key")
+    b = grams.select(F.col("_s").alias("src_b"), "_key")
+    inter = (
+        a.join(b, "_key")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("_s").alias("src_a"), F.col("_n").alias("grams_a"))
+    sb = sizes.select(F.col("_s").alias("src_b"), F.col("_n").alias("grams_b"))
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("grams_a").cast("bigint").alias("grams_a"),
+            F.col("grams_b").cast("bigint").alias("grams_b"),
+            F.col("inter").cast("bigint").alias("inter"),
+            F.round(
+                F.col("inter")
+                / (F.col("grams_a") + F.col("grams_b") - F.col("inter")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )

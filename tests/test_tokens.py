@@ -159,3 +159,23 @@ def test_source_drift_analytic(spark):
     got = {r["stratum"]: r["js_div"] for r in source_drift(two).collect()}
     assert abs(got["a"] - round(expect, 6)) < 2e-6
     assert got["a"] == got["b"]
+
+
+def test_source_overlap_matrix(spark):
+    from loongcollector_spark.operators.tokens import source_overlap_matrix
+
+    # k=3 grams: a has {123,234}, b has {123,234} + {999,...} disjoint doc,
+    # c shares nothing
+    rows = [
+        ("a", [1, 2, 3, 4]),          # grams 123, 234
+        ("b", [1, 2, 3, 4]),          # same two grams
+        ("b", [9, 9, 9, 9]),          # gram 999 (x2 positions, distinct->1)
+        ("c", [7, 8, 7, 8]),          # grams 787, 878
+    ]
+    df = spark.createDataFrame(rows, "source string, tokens array<int>")
+    out = {(r["src_a"], r["src_b"]): r for r in source_overlap_matrix(df, k=3).collect()}
+    ab = out[("a", "b")]
+    assert (ab["grams_a"], ab["grams_b"], ab["inter"]) == (2, 3, 2)
+    assert abs(ab["jaccard"] - round(2 / 3, 6)) < 1e-9
+    # zero-overlap pairs emit no row (inverted index joins on shared grams)
+    assert ("a", "c") not in out and ("b", "c") not in out
