@@ -1892,6 +1892,28 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_overlap_matrix(seqs, k=6)
 
 
+def q_dup_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lee et al. 2022 cross-document duplicated-substring removal, exact via
+    8-gram cover (a position is inside a ≥8-token duplicated span iff a
+    corpus-duplicated 8-gram covers it). Inverted-index aggs + one keyed
+    join + a zero-shuffle index filter; no suffix array, no windows
+    (operators/tokens.py::dup_span_strip)."""
+    from loongcollector_spark.operators.tokens import dup_span_strip
+
+    seqs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_TOK_SYNTH_SPARK).alias("tokens")
+    )
+    out = dup_span_strip(seqs, k=8)
+    return out.select(
+        "doc_id",
+        "n_tok",
+        "n_removed",
+        F.array_join(
+            F.transform("tokens_clean", lambda x: x.cast("string")), ","
+        ).alias("tokens_clean_csv"),
+    )
+
+
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repeated-line removal (keep first occurrence, original
     order) — zero-shuffle codegen projection (dedup.py::line_dedup). Inputs
@@ -2063,6 +2085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_csv": q_parse_csv,
         "tag_native": q_tag_native,
         "source_overlap": q_source_overlap,
+        "dup_span_strip": q_dup_span_strip,
         # --- r04 group 3: oldest-stale greens (last checked r02) ---
         "geoip": q_geoip,
         "pipeline_route_counts": q_pipeline_route_counts,
@@ -2787,6 +2810,36 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(emp) as bigint) as n_empty,
                    cast(sum(ntoks) as bigint) as tok_total
             from f group by source
+        """,
+        "dup_span_strip": f"""
+            with seqs as (select doc_id, {_TOK_SYNTH_DUCK} as tokens
+                          from documents),
+            pg as (select doc_id, i as pos,
+                          md5(array_to_string(tokens[i:i+7], ',')) as key
+                   from seqs,
+                        unnest(range(1, greatest(len(tokens) - 7, 0) + 1)) as t(i)),
+            dk as (select key from (select distinct doc_id, key from pg)
+                   group by key having count(*) >= 2),
+            cov as (select distinct doc_id, cp
+                    from pg join dk using (key),
+                         unnest(range(pos, pos + 8)) as u(cp)),
+            allpos as (select doc_id, p, tokens[p] as tokval
+                       from seqs, unnest(range(1, len(tokens) + 1)) as pp(p)),
+            keptpos as (select a.doc_id, a.p, a.tokval
+                        from allpos a left join cov
+                          on a.doc_id = cov.doc_id and a.p = cov.cp
+                        where cov.cp is null),
+            agg as (select doc_id,
+                           string_agg(cast(tokval as varchar), ',' order by p)
+                             as tokens_clean_csv,
+                           count(*) as n_kept
+                    from keptpos group by doc_id)
+            select s.doc_id,
+                   cast(len(s.tokens) as bigint) as n_tok,
+                   cast(len(s.tokens) - coalesce(agg.n_kept, 0) as bigint)
+                     as n_removed,
+                   coalesce(agg.tokens_clean_csv, '') as tokens_clean_csv
+            from seqs s left join agg using (doc_id)
         """,
         "source_overlap": f"""
             with seqs as (select source, {_TOK_SYNTH_DUCK} as tokens

@@ -324,3 +324,75 @@ def source_overlap_matrix(
             ).alias("jaccard"),
         )
     )
+
+
+def dup_span_strip(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Corpus-duplicated span REMOVAL (the actionable twin of
+    ``token_ngram_dup_stats``): strip every token position covered by a
+    k-gram that occurs in ≥ 2 distinct documents. This is exactly the
+    Lee et al. 2022 "Deduplicating Training Data" substring rule — a position
+    sits inside a cross-document duplicated substring of length ≥ k iff some
+    duplicated k-gram covers it — computed distributed, no suffix array.
+
+    Rows out: ``(id, n_tok, n_removed, tokens_clean)`` — tokens_clean keeps
+    the surviving tokens in original order.
+
+    Scale shape (all map-combined aggs + ONE keyed join, no windows):
+      1. position table (id, pos, gram_key) — one explode, linear;
+      2. duplicated grams = keys with ≥ 2 DISTINCT docs (two hash aggs on
+         the already-(id,key)-distinct rows);
+      3. equi-join positions ⋈ dup keys, explode each hit to its k covered
+         positions, distinct per doc — output bounded by corpus token count;
+      4. per-doc covered-position array (collect_set, bounded by doc length)
+         → one zero-shuffle projection filters the token array by index.
+    """
+    toks = F.col(tokens_col)
+    pos_grams = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(
+                F.size(toks) >= k,
+                F.transform(
+                    F.sequence(F.lit(1), (F.size(toks) - F.lit(k - 1))),
+                    lambda i: F.slice(toks, i, k),
+                ),
+            ).otherwise(F.array().cast("array<array<int>>"))
+        ).alias("_p0", "_gram"),
+    ).select(F.col(id_col), (F.col("_p0") + 1).alias("_pos"), _gram_key(F.col("_gram")).alias("_key"))
+    doc_keys = pos_grams.select(id_col, "_key").distinct()
+    dup_keys = (
+        doc_keys.groupBy("_key")
+        .agg(F.count(F.lit(1)).alias("_n_docs"))
+        .filter(F.col("_n_docs") >= 2)
+        .select("_key")
+    )
+    covered = (
+        pos_grams.join(dup_keys, "_key")
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.col("_pos"), F.col("_pos") + F.lit(k - 1))).alias("_cp"),
+        )
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.collect_set("_cp").alias("_cov"))
+    )
+    base = df.select(F.col(id_col), toks.alias("_t"))
+    joined = base.join(covered, id_col, "left").select(
+        id_col,
+        "_t",
+        F.coalesce("_cov", F.array().cast("array<int>")).alias("_cov"),
+    )
+    kept = F.filter(
+        F.col("_t"), lambda x, i: ~F.array_contains(F.col("_cov"), (i + 1).cast("int"))
+    )
+    return joined.select(
+        id_col,
+        F.size("_t").cast("bigint").alias("n_tok"),
+        F.size("_cov").cast("bigint").alias("n_removed"),
+        kept.alias("tokens_clean"),
+    )

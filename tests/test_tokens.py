@@ -179,3 +179,24 @@ def test_source_overlap_matrix(spark):
     assert abs(ab["jaccard"] - round(2 / 3, 6)) < 1e-9
     # zero-overlap pairs emit no row (inverted index joins on shared grams)
     assert ("a", "c") not in out and ("b", "c") not in out
+
+
+def test_dup_span_strip(spark):
+    from loongcollector_spark.operators.tokens import dup_span_strip
+
+    shared = [1, 2, 3, 4]  # k=3: grams 123,234 duplicated across docs 1,2
+    rows = [
+        (1, shared + [50, 51]),      # positions 1-4 covered, tail kept
+        (2, [60] + shared),          # positions 2-5 covered, head kept
+        (3, [70, 71, 72, 73, 74]),   # unique doc: untouched
+        (4, [1, 2, 3]),              # exactly one duplicated gram, fully covered
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, tokens array<int>")
+    out = {r["doc_id"]: r for r in dup_span_strip(df, k=3).collect()}
+    assert out[1]["tokens_clean"] == [50, 51] and out[1]["n_removed"] == 4
+    assert out[2]["tokens_clean"] == [60] and out[2]["n_removed"] == 4
+    assert out[3]["tokens_clean"] == [70, 71, 72, 73, 74] and out[3]["n_removed"] == 0
+    assert out[4]["tokens_clean"] == [] and out[4]["n_removed"] == 3
+    # invariant: n_tok - n_removed == len(tokens_clean)
+    for r in out.values():
+        assert r["n_tok"] - r["n_removed"] == len(r["tokens_clean"])
