@@ -1914,6 +1914,18 @@ def q_dup_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source tokenizer fertility panel (tokens/char, tokens/word ratios
+    of source totals) — one projection + one map-combined agg
+    (operators/tokens.py::tokenizer_fertility)."""
+    from loongcollector_spark.operators.tokens import tokenizer_fertility
+
+    d = _t(spark, sf_dir, "documents").select(
+        "source", "text", F.expr(_TOK_SYNTH_SPARK).alias("tokens")
+    )
+    return tokenizer_fertility(d)
+
+
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repeated-line removal (keep first occurrence, original
     order) — zero-shuffle codegen projection (dedup.py::line_dedup). Inputs
@@ -2086,6 +2098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tag_native": q_tag_native,
         "source_overlap": q_source_overlap,
         "dup_span_strip": q_dup_span_strip,
+        "fertility": q_fertility,
         # --- r04 group 3: oldest-stale greens (last checked r02) ---
         "geoip": q_geoip,
         "pipeline_route_counts": q_pipeline_route_counts,
@@ -2810,6 +2823,26 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(emp) as bigint) as n_empty,
                    cast(sum(ntoks) as bigint) as tok_total
             from f group by source
+        """,
+        "fertility": f"""
+            with d as (select source as stratum, text,
+                              {_TOK_SYNTH_DUCK} as tokens
+                       from documents),
+            b as (select stratum,
+                         cast(len(tokens) as bigint) as t,
+                         cast(length(text) as bigint) as c,
+                         cast(case when length(trim(text)) > 0
+                              then len(regexp_split_to_array(trim(text), '\\s+'))
+                              else 0 end as bigint) as w
+                  from d)
+            select stratum,
+                   cast(count(*) as bigint) as n_docs,
+                   cast(sum(t) as bigint) as tok_total,
+                   cast(sum(c) as bigint) as char_total,
+                   cast(sum(w) as bigint) as word_total,
+                   round(sum(t) / cast(sum(c) as double), 6) as toks_per_char,
+                   round(sum(t) / cast(sum(w) as double), 6) as toks_per_word
+            from b group by stratum
         """,
         "dup_span_strip": f"""
             with seqs as (select doc_id, {_TOK_SYNTH_DUCK} as tokens

@@ -396,3 +396,42 @@ def dup_span_strip(
         F.size("_cov").cast("bigint").alias("n_removed"),
         kept.alias("tokens_clean"),
     )
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    text_col: str = "text",
+    strata_col: str = "source",
+) -> DataFrame:
+    """Per-source tokenizer fertility audit: tokens-per-character and
+    tokens-per-word ratios — the standard tokenizer-QA panel (a source whose
+    fertility spikes is being shredded by the tokenizer: wrong script,
+    mojibake, or heavy markup — its effective context shrinks and its
+    per-token training cost rises).
+
+    Rows out: ``(stratum, n_docs, tok_total, char_total, word_total,
+    toks_per_char, toks_per_word)`` — ratios of per-source TOTALS (not
+    averages of per-doc ratios), rounded 6.
+
+    Scale shape: one codegen projection (sizes + a regexp word count) into
+    one map-side-combined agg keyed by source. No joins, no Python.
+    """
+    words = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    base = df.select(
+        F.col(strata_col).alias("stratum"),
+        F.size(tokens_col).cast("bigint").alias("_t"),
+        F.length(text_col).cast("bigint").alias("_c"),
+        F.when(F.length(F.trim(F.col(text_col))) > 0, words)
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("_w"),
+    )
+    return base.groupBy("stratum").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_t").alias("tok_total"),
+        F.sum("_c").alias("char_total"),
+        F.sum("_w").alias("word_total"),
+        F.round(F.sum("_t") / F.sum("_c").cast("double"), 6).alias("toks_per_char"),
+        F.round(F.sum("_t") / F.sum("_w").cast("double"), 6).alias("toks_per_word"),
+    )

@@ -196,3 +196,46 @@ def start_windowed_counts(
     )
     w = w.trigger(availableNow=True) if available_now else w.trigger(processingTime="10 seconds")
     return w.start()
+
+
+def windowed_cms(
+    events: DataFrame,
+    item_col: str = "user_id",
+    window: str = "5 minutes",
+    watermark: str = "1 hour",
+    time_col: str = "ts",
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Streaming Count-Min sketch per event-time window: the frequency twin
+    of ``windowed_counts`` in FIXED state — the aggregation state per window
+    is at most depth×width cells no matter the item cardinality, so a
+    high-cardinality key (user ids, URLs) never grows streaming state
+    unboundedly the way a per-item windowed count does.
+
+    Rows out (append mode, once the watermark closes the window):
+    ``(window_start, window_end, r, col, c)`` — per-window sketch cells,
+    mergeable across windows by cell addition (CMS linearity), point-queried
+    with ``operators.sketch.cms_estimate`` on any window or any SUM of
+    windows. Identical md5 cell math to the batch sketch, so a batch replay
+    of the same data produces byte-identical cells (pytest-verified).
+    """
+    from ..operators.sketch import _cms_cells
+
+    with_ts = events.withWatermark(time_col, watermark)
+    fan = with_ts.select(
+        F.col(time_col).alias("_wts"),
+        F.explode(_cms_cells(F.col(item_col).cast("string"), depth, width)).alias("_cell"),
+    )
+    agg = fan.groupBy(
+        F.window("_wts", window).alias("w"),
+        F.col("_cell.r").alias("r"),
+        F.col("_cell.col").alias("col"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    return agg.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "r",
+        "col",
+        "c",
+    )

@@ -192,3 +192,50 @@ def test_rate_source_drives_pipeline(spark):
         }
     finally:
         q.stop()
+
+
+def test_windowed_cms_matches_batch_sketch(spark, tmp_path):
+    """Streaming per-window CMS cells are byte-identical to the batch sketch
+    built over the same window's rows (CMS linearity + same md5 cell math),
+    and state per window is bounded by depth*width regardless of cardinality."""
+    import pyspark.sql.functions as F
+    from loongcollector_spark.operators.sketch import cms_build
+    from loongcollector_spark.streaming.job import windowed_cms
+
+    src = str(tmp_path / "cms_in")
+    rows = [
+        (i, f"2024-01-01 00:{i % 2}0:30", f"user{i % 23}") for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "i int, ts_s string, user_id string").withColumn(
+        "ts", F.col("ts_s").cast("timestamp")
+    )
+    df.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("i int, ts_s string, user_id string, ts timestamp").parquet(src)
+    cells = windowed_cms(stream, item_col="user_id", window="10 minutes", depth=4, width=128)
+    # complete mode: availableNow never advances the watermark past the
+    # final window, so append would hold every window open
+    q = (
+        cells.writeStream.format("memory")
+        .queryName("cms_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from cms_out").collect()
+    assert len(got) > 0
+    windows = {r["window_start"] for r in got}
+    assert len(windows) == 2  # :00 and :10 windows
+    for w in windows:
+        stream_cells = {
+            (r["r"], r["col"]): r["c"] for r in got if r["window_start"] == w
+        }
+        batch_rows = df.filter(
+            (F.col("ts") >= F.lit(w)) & (F.col("ts") < F.lit(w) + F.expr("interval 10 minutes"))
+        )
+        batch_cells = {
+            (r["r"], r["col"]): r["c"]
+            for r in cms_build(batch_rows, F.col("user_id"), depth=4, width=128).collect()
+        }
+        assert stream_cells == batch_cells
+        assert len(stream_cells) <= 4 * 128
