@@ -185,3 +185,53 @@ def test_length_batching_window_is_per_shard(spark, docs_path):
     # single-partition window
     assert "Window" in plan
     assert "SinglePartition" not in plan
+
+
+def test_chunk_sliding_no_shuffle(spark):
+    from loongcollector_spark.operators.packing import chunk_sliding
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.expr("transform(sequence(1, 40), i -> cast(i as int))").alias("tokens"),
+    )
+    plan = _plan(chunk_sliding(df, window=16, stride=8))
+    assert "Exchange" not in plan  # pure per-row generate+explode projection
+
+
+def test_cms_build_single_shuffle_no_python(spark):
+    from loongcollector_spark.operators.sketch import cms_build
+
+    df = spark.range(1000).select(F.col("id").cast("string").alias("k"))
+    plan = _plan(cms_build(df, F.col("k"), depth=4, width=64))
+    # ONE shuffle: the map-combined agg onto the fixed cell space
+    assert plan.count("Exchange") <= 2  # agg exchange (+AQE read marker)
+    assert "hashpartitioning" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_semdedup_assignment_is_broadcast_no_cartesian(spark):
+    from loongcollector_spark.operators.dedup import semdedup
+
+    df = spark.range(60).select(
+        F.col("id").cast("int").alias("vec_id"),
+        F.expr(
+            "transform(sequence(1, 8), i -> cast(i * (id % 7 + 1) as double))"
+        ).alias("embedding"),
+    )
+    plan = _plan(semdedup(df, k=4, iters=1, tau=0.99))
+    # the k-centroid row rides in as a broadcast; never a CartesianProduct
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_source_drift_corpus_pass_is_single_agg(spark):
+    from loongcollector_spark.operators.tokens import source_drift
+
+    df = spark.range(500).select(
+        F.concat(F.lit("s"), (F.col("id") % 5).cast("string")).alias("source"),
+        F.expr("transform(sequence(1, 30), i -> cast((id + i) % 64 as int))").alias("tokens"),
+    )
+    plan = _plan(source_drift(df))
+    # everything after the (source, token) agg is broadcast-sized
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
