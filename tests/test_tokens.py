@@ -200,3 +200,27 @@ def test_dup_span_strip(spark):
     # invariant: n_tok - n_removed == len(tokens_clean)
     for r in out.values():
         assert r["n_tok"] - r["n_removed"] == len(r["tokens_clean"])
+
+
+def test_gram_hash_twins_agree(spark):
+    """xxhash64 fast-path keys give identical RESULTS to the md5 oracle-audit
+    keys for every gram-keyed op (keys only partition/join)."""
+    from loongcollector_spark.operators.tokens import (
+        dup_span_strip,
+        source_overlap_matrix,
+        token_ngram_dup_stats,
+    )
+
+    rows = [
+        (i, f"s{i % 3}", [(i * 7 + j) % 40 for j in range(20 + i % 5)])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, source string, tokens array<int>")
+    for op, key in (
+        (lambda m: token_ngram_dup_stats(df, k=5, hash_method=m), "doc_id"),
+        (lambda m: dup_span_strip(df, k=5, hash_method=m), "doc_id"),
+        (lambda m: source_overlap_matrix(df, k=5, hash_method=m), None),
+    ):
+        a = sorted(map(str, op("md5").collect()))
+        b = sorted(map(str, op("xxhash64").collect()))
+        assert a == b
