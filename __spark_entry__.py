@@ -1926,6 +1926,28 @@ def q_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokenizer_fertility(d)
 
 
+def q_event_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal drift monitor: per-DAY event-type distribution vs the
+    whole-corpus mix, as JS divergence — the same source_drift operator
+    generalized to a time stratum (a day whose divergence spikes is the
+    canary for an ingest change). Items are tiny one-element arrays, so the
+    corpus pass stays one map-combined (day, type) agg."""
+    from loongcollector_spark.operators.tokens import source_drift
+
+    tid = (
+        F.when(F.col("event_type") == "click", 0)
+        .when(F.col("event_type") == "error", 1)
+        .when(F.col("event_type") == "purchase", 2)
+        .when(F.col("event_type") == "signup", 3)
+        .otherwise(4)
+        .cast("int")
+    )
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), F.array(tid).alias("tokens")
+    )
+    return source_drift(ev, strata_col="day")
+
+
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repeated-line removal (keep first occurrence, original
     order) — zero-shuffle codegen projection (dedup.py::line_dedup). Inputs
@@ -2099,6 +2121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": q_source_overlap,
         "dup_span_strip": q_dup_span_strip,
         "fertility": q_fertility,
+        "event_drift": q_event_drift,
         # --- r04 group 3: oldest-stale greens (last checked r02) ---
         "geoip": q_geoip,
         "pipeline_route_counts": q_pipeline_route_counts,
@@ -2823,6 +2846,33 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(emp) as bigint) as n_empty,
                    cast(sum(ntoks) as bigint) as tok_total
             from f group by source
+        """,
+        "event_drift": """
+            with e as (select strftime(ts, '%Y-%m-%d') as stratum,
+                              case event_type when 'click' then 0
+                                   when 'error' then 1
+                                   when 'purchase' then 2
+                                   when 'signup' then 3 else 4 end as t
+                       from events),
+            tok as (select stratum, t as _t, count(*) as c
+                    from e group by 1, 2),
+            totals as (select stratum, sum(c) as n_src from tok group by 1),
+            gtok as (select _t, sum(c) as c_all from tok group by 1),
+            nall as (select sum(c_all) as n_all from gtok),
+            j as (select tok.stratum,
+                         cast(tok.c as double) / cast(totals.n_src as double) as p,
+                         cast(gtok.c_all as double) / cast(nall.n_all as double) as q
+                  from tok join totals using (stratum)
+                           join gtok using (_t), nall)
+            select stratum,
+                   cast(max(n_src) as bigint) as n_tok,
+                   cast(count(*) as bigint) as n_distinct,
+                   round(0.5 * sum(p * ln(2.0 * p / (p + q)))
+                         + 0.5 * (sum(q * ln(2.0 * q / (p + q)))
+                                  + 0.6931471805599453 * (1.0 - sum(q))), 6)
+                     as js_div
+            from j join totals using (stratum)
+            group by stratum
         """,
         "fertility": f"""
             with d as (select source as stratum, text,
