@@ -1078,11 +1078,13 @@ def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_simhash_dups_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs with md5 token hashes (60-bit) — the fully
-    oracle-checked twin of q_simhash_dups (FNV family stays rows-only)."""
+    oracle-checked twin of q_simhash_dups. The stop-bucket cap
+    (max_bucket_size=100, VERDICT r4 #3) is mirrored in the DuckDB oracle,
+    so the capped plan itself is what the gate checks."""
     from loongcollector_spark.operators.dedup import simhash_dup_pairs_md5
 
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
-    return simhash_dup_pairs_md5(d, max_hamming=7)
+    return simhash_dup_pairs_md5(d, max_hamming=7, max_bucket_size=100)
 
 
 def q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2631,12 +2633,13 @@ def oracle_sql() -> dict[str, str]:
         "skew_probe": """
             with counts as (select lang as key, count(*) as cnt
                             from documents group by 1),
-            totals as (select sum(cnt) as n_rows, count(*) as n_keys from counts)
+            totals as (select cast(sum(cnt) as bigint) as n_rows,
+                              cast(count(*) as bigint) as n_keys from counts)
             select key, cnt,
-                   round(cnt / cast(n_rows as double), 6) as share,
-                   round(cnt * n_keys / cast(n_rows as double), 6) as skew_factor,
-                   cast(ceil(cnt / 100.0) as bigint) as recommended_salts,
-                   n_rows, cast(n_keys as bigint) as n_keys
+                   (cnt * 1000000) // n_rows as share_ppm,
+                   (cnt * n_keys * 1000000) // n_rows as skew_ppm,
+                   (cnt + 99) // 100 as recommended_salts,
+                   n_rows, n_keys
             from counts, totals
             order by cnt desc, key limit 10
         """,
@@ -3507,9 +3510,13 @@ def oracle_sql() -> dict[str, str]:
               from votes group by 1),
             allsim as (
               select d.doc_id, coalesce(sim.s, 0) as s from d left join sim using (doc_id)),
-            blocks as (
+            blocks0 as (
               select doc_id, s, b as blk, (s >> (b * 7)) & 127 as bits
               from allsim cross join (select unnest(range(8)) as b)),
+            bcnt as (select blk, bits, count(*) as c from blocks0 group by 1, 2),
+            blocks as (
+              select b.doc_id, b.s, b.blk, b.bits
+              from blocks0 b join bcnt using (blk, bits) where c <= 100),
             cand as (
               select distinct a.doc_id as id_a, c.doc_id as id_b,
                      bit_count(xor(a.s, c.s)) as hamming

@@ -93,7 +93,7 @@ def decode_tokens_native(tokens: Column | str) -> Column:
     return F.array_join(F.transform(col, lambda x: F.char(x)), "")
 
 
-def decode_tokens_utf8(tokens: Column | str) -> Column:
+def decode_tokens_utf8(tokens: Column | str, strict: bool = False) -> Column:
     """array<int> byte-tokens → string, JVM-only AND UTF-8-correct.
 
     Per-row dispatch: all-ASCII rows (the overwhelming majority in log
@@ -102,6 +102,16 @@ def decode_tokens_utf8(tokens: Column | str) -> Column:
     multi-byte sequences decode correctly (plain ``char`` would emit the
     Latin-1 codepoint per byte). Both branches are native Catalyst — no
     Python worker, no Arrow round-trip, one codegen span.
+
+    CONTRACT: tokens are byte values in [0, 255] (bijective byte-level
+    tokenization, FIXTURES.md §1). Out-of-contract tokens do NOT decode
+    meaningfully on either branch (``char`` wraps the codepoint; ``hex`` of
+    t > 255 is 3+ digits and ``lpad(…, 2)`` TRUNCATES it — ADVICE r4). Pass
+    ``strict=True`` to fail loudly instead: one extra ``exists`` pass per
+    row raises on the first token outside [0, 255]. Default stays off — the
+    flagship's inputs are contract-guaranteed by the synthesizer and the
+    extra pass is pure overhead there; turn it on at ingest boundaries where
+    the tokenizer is not trusted.
     """
     col = F.col(tokens) if isinstance(tokens, str) else tokens
     ascii_fast = F.array_join(F.transform(col, F.char), "")
@@ -112,7 +122,19 @@ def decode_tokens_utf8(tokens: Column | str) -> Column:
         ),
         "UTF-8",
     )
-    return F.when(F.exists(col, lambda t: t > F.lit(127)), hex_exact).otherwise(ascii_fast)
+    out = F.when(F.exists(col, lambda t: t > F.lit(127)), hex_exact).otherwise(ascii_fast)
+    if strict:
+        bad = F.filter(col, lambda t: (t < F.lit(0)) | (t > F.lit(255)))
+        out = F.when(
+            F.size(bad) > 0,
+            F.raise_error(
+                F.concat(
+                    F.lit("decode_tokens_utf8: token outside the byte contract [0,255]: "),
+                    F.array_join(F.slice(bad, 1, 3).cast("array<string>"), ","),
+                )
+            ).cast("string"),
+        ).otherwise(out)
+    return out
 
 
 @pandas_udf(T.StringType())
@@ -132,15 +154,18 @@ def with_content(
     tokens_col: str = "tokens",
     out: str = "content",
     method: str = "auto",  # auto | arrow | native | pandas
+    strict: bool = False,
 ):
     """Attach the decoded payload column, keeping ``tokens`` untouched.
 
     ``auto`` (default) is the JVM-only UTF-8-correct hybrid — see module
     docstring for the measured 25%+ flagship win and stability rationale vs
     the Arrow hop; pass ``method="arrow"`` for the mapInArrow shape.
+    ``strict`` (auto path only) raises on tokens outside the [0,255] byte
+    contract instead of decoding them to garbage.
     """
     if method == "auto":
-        return df.withColumn(out, decode_tokens_utf8(tokens_col))
+        return df.withColumn(out, decode_tokens_utf8(tokens_col, strict=strict))
     if method == "arrow":
         return decode_arrow(df, tokens_col, out)
     if method == "native":

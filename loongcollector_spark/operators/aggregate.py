@@ -216,9 +216,18 @@ def skew_probe(
     """Partition-skew diagnostic for a prospective shuffle key — the planning
     companion to ``salted_repartition``: BEFORE shuffling 100 TB on ``key_col``,
     measure how hot the hot keys are and how many salt buckets each needs.
-    Rows (top_k, by count desc then key): (key, cnt, share, skew_factor =
-    cnt / mean-key-count, recommended_salts = ceil(cnt / target_rows_per_task),
-    n_rows, n_keys).
+    Rows (top_k, by count desc then key): (key, cnt, share_ppm = key's share
+    of all rows in parts-per-million, skew_ppm = cnt / mean-key-count scaled
+    ×10⁶, recommended_salts = ceil(cnt / target_rows_per_task), n_rows,
+    n_keys).
+
+    All outputs are INTEGER-exact (bigint ``div`` arithmetic, no doubles):
+    ``round(x, 6)`` doubles landed on a different ULP in a second engine and
+    value-hash-mismatched a cross-engine replay (CORRECTNESS_r04) even though
+    the math was right — ppm integers are canonicalization-proof, the same
+    lesson as hll_distinct's scaled-integer audit. (skew_ppm's intermediate
+    ``cnt·n_keys·10⁶`` stays under int64 while cnt·n_keys < 9.2e12 — any
+    realistic diagnostic top-k; overflow would fail loudly in ANSI mode.)
 
     Scale shape: ONE map-side-combined groupBy(key) count; global totals are a
     1-row aggregate of the (n_keys)-row count table, attached by broadcast
@@ -229,14 +238,15 @@ def skew_probe(
         F.sum("cnt").alias("n_rows"), F.count(F.lit(1)).alias("n_keys")
     )
     top = counts.orderBy(F.col("cnt").desc(), "key").limit(top_k)
+    t = int(target_rows_per_task)
     return (
         top.crossJoin(F.broadcast(totals))
         .select(
             "key",
             "cnt",
-            F.round(F.col("cnt") / F.col("n_rows"), 6).alias("share"),
-            F.round(F.col("cnt") * F.col("n_keys") / F.col("n_rows"), 6).alias("skew_factor"),
-            F.ceil(F.col("cnt") / F.lit(target_rows_per_task)).alias("recommended_salts"),
+            F.expr("cnt * 1000000 div n_rows").alias("share_ppm"),
+            F.expr("cnt * n_keys * 1000000 div n_rows").alias("skew_ppm"),
+            F.expr(f"(cnt + {t - 1}) div {t}").alias("recommended_salts"),
             "n_rows",
             "n_keys",
         )

@@ -88,13 +88,18 @@ def chunk_sliding(
     if window < 1 or stride < 1:
         raise ValueError("window and stride must be >= 1")
     toks = F.col(tokens_col)
+    if min_len > window:
+        raise ValueError("min_len > window would reject every chunk")
     # the stride grid 1, 1+S, … capped at len enumerates every chunk start;
-    # a start survives iff its (possibly truncated) chunk carries >= min_len
+    # a start survives iff its (possibly truncated) chunk carries >= min_len —
+    # the chunk length is min(window, remaining), not the remaining alone
+    # (ADVICE r4: remaining >= min_len let full-window chunks through even
+    # when they carried < min_len, a case now excluded by the guard above).
     starts = F.when(
         F.size(toks) >= 1,
         F.filter(
             F.sequence(F.lit(1), F.size(toks), F.lit(stride)),
-            lambda s: F.size(toks) - s + 1 >= F.lit(min_len),
+            lambda s: F.least(F.lit(window), F.size(toks) - s + 1) >= F.lit(min_len),
         ),
     ).otherwise(F.array().cast("array<int>"))
     out = df.select(

@@ -198,19 +198,31 @@ def cms_estimate(
     Scale shape: probes fan out to depth rows, equi-join the ≤depth×width-row
     sketch (broadcast — the sketch is fixed-size by construction), one
     min-agg back. The corpus itself is never touched at query time.
+
+    Each probe ROW gets its own output row: a ``monotonically_increasing_id``
+    keys the min-agg, so duplicate probe rows don't collapse, and the sketch
+    side is renamed before the join, so probe columns named ``r``/``col``/``c``
+    can't collide (ADVICE r4).
     """
-    keyed = probes.withColumn("_item", item)
+    keyed = probes.withColumn("_probe_rid", F.monotonically_increasing_id()).withColumn(
+        "_item", item
+    )
     fan = keyed.select(
         "*", F.explode(_cms_cells(F.col("_item"), depth, width)).alias("_cell")
     )
+    sk = F.broadcast(
+        sketch.select(
+            F.col("r").alias("_sk_r"), F.col("col").alias("_sk_col"), F.col("c").alias("_sk_c")
+        )
+    )
     joined = fan.join(
-        F.broadcast(sketch),
-        (fan["_cell.r"] == sketch["r"]) & (fan["_cell.col"] == sketch["col"]),
+        sk,
+        (fan["_cell.r"] == F.col("_sk_r")) & (fan["_cell.col"] == F.col("_sk_col")),
         "left",
     )
     group_cols = [c for c in probes.columns]
     return (
-        joined.groupBy(*group_cols, "_item")
-        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est"))
-        .drop("_item")
+        joined.groupBy("_probe_rid", *group_cols)
+        .agg(F.min(F.coalesce(F.col("_sk_c"), F.lit(0))).alias("est"))
+        .drop("_probe_rid")
     )

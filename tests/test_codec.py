@@ -71,3 +71,21 @@ def test_round_trip(seq_df):
         .filter(F.col("t2") != F.col("tokens"))
     )
     assert d.count() == 0
+
+
+def test_utf8_strict_contract(spark):
+    """strict=True fails loudly on tokens outside [0,255] (ADVICE r4: the
+    default path silently mangles them — lpad truncation / char wraparound);
+    in-contract rows still decode identically with the guard on."""
+    import pytest
+
+    ok = spark.createDataFrame(
+        [([104, 105],), ([195, 169],)], "tokens array<int>"
+    )
+    got = [r.c for r in ok.withColumn("c", decode_tokens_utf8("tokens", strict=True)).collect()]
+    assert got == ["hi", "é"]
+    bad = spark.createDataFrame([([104, 300],)], "tokens array<int>")
+    with pytest.raises(Exception, match="byte contract"):
+        bad.withColumn("c", decode_tokens_utf8("tokens", strict=True)).collect()
+    # the documented non-strict hazard: same row silently decodes to garbage
+    assert bad.withColumn("c", decode_tokens_utf8("tokens")).collect()[0].c is not None

@@ -235,3 +235,26 @@ def test_source_drift_corpus_pass_is_single_agg(spark):
     # everything after the (source, token) agg is broadcast-sized
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_simhash_stop_bucket_cap(spark):
+    """VERDICT r4 #3: a degenerate (blk, bits) bucket must not become an m²/2
+    self-join key. With the cap on, a 60-doc identical-text clique (every
+    block bucket hot) contributes ZERO candidate pairs, while a small
+    distinct near-dup pair in healthy buckets is still found; and the capped
+    plan carries a broadcast left-anti join against the hot-bucket list."""
+    from loongcollector_spark.operators.dedup import simhash_dup_pairs_md5
+
+    rows = [(i, "the same boilerplate banner text repeated verbatim") for i in range(60)]
+    rows += [(100, "alpha beta gamma delta epsilon zeta eta theta"),
+             (101, "alpha beta gamma delta epsilon zeta eta iota")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    capped = simhash_dup_pairs_md5(df, max_hamming=7, max_bucket_size=50)
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert (100, 101) in got                      # healthy buckets unaffected
+    assert not any(a < 60 and b < 60 for a, b in got)  # clique capped out
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # uncapped control: the clique explodes into C(60,2) pairs
+    full = simhash_dup_pairs_md5(df, max_hamming=7)
+    assert full.filter((F.col("id_a") < 60) & (F.col("id_b") < 60)).count() == 60 * 59 // 2

@@ -224,3 +224,36 @@ def test_gram_hash_twins_agree(spark):
         a = sorted(map(str, op("md5").collect()))
         b = sorted(map(str, op("xxhash64").collect()))
         assert a == b
+
+
+def test_dup_span_strip_full_coverage_linear(spark):
+    """VERDICT r4 #3 regression: a ~fully-covered long doc must reassemble in
+    linear time (array_except gather, not per-position array_contains) and
+    strip every covered token. Two identical 4000-token docs → every k-gram
+    duplicated → all positions covered → tokens_clean empty; a third distinct
+    doc is untouched. The old quadratic form made this fixture visibly slow;
+    the linear form finishes instantly and, critically, keeps order."""
+    import time
+
+    from loongcollector_spark.operators.tokens import dup_span_strip
+
+    long_toks = [(i * 7 + 3) % 251 for i in range(4000)]
+    df = spark.createDataFrame(
+        [(1, long_toks), (2, long_toks), (3, [9, 8, 7, 6, 5, 4, 3, 2, 1, 0])],
+        "doc_id int, tokens array<int>",
+    )
+    t0 = time.time()
+    out = {r["doc_id"]: r for r in dup_span_strip(df, k=8).collect()}
+    assert time.time() - t0 < 60
+    assert out[1]["n_tok"] == 4000 and out[1]["n_removed"] == 4000
+    assert out[1]["tokens_clean"] == [] and out[2]["tokens_clean"] == []
+    assert out[3]["n_removed"] == 0 and out[3]["tokens_clean"] == [9, 8, 7, 6, 5, 4, 3, 2, 1, 0]
+    # partial coverage keeps surviving tokens in original order
+    a = list(range(100)) + [1, 2, 3, 4, 5, 6, 7, 8] + list(range(200, 240))
+    b = [1, 2, 3, 4, 5, 6, 7, 8]
+    df2 = spark.createDataFrame([(1, a), (2, b)], "doc_id int, tokens array<int>")
+    out2 = {r["doc_id"]: r for r in dup_span_strip(df2, k=8).collect()}
+    # covered in doc 1: the embedded span [1..8] AND the matching 1..8 inside range(100)
+    expect = [t for i, t in enumerate(a, start=1)
+              if not (2 <= i <= 9 or 101 <= i <= 108)]
+    assert out2[1]["tokens_clean"] == expect

@@ -1127,8 +1127,8 @@ def test_skew_probe(spark):
     out = {r["key"]: r for r in
            skew_probe(df, key_col="source", top_k=2, target_rows_per_task=10).collect()}
     assert set(out) == {"hot", "warm"}          # top-2 only
-    assert out["hot"]["cnt"] == 80 and out["hot"]["share"] == 0.8
-    assert out["hot"]["skew_factor"] == 2.4     # 80 / (100/3 mean)
+    assert out["hot"]["cnt"] == 80 and out["hot"]["share_ppm"] == 800000
+    assert out["hot"]["skew_ppm"] == 2400000    # 80 / (100/3 mean), ×1e6
     assert out["hot"]["recommended_salts"] == 8
     assert out["warm"]["recommended_salts"] == 2
     assert out["hot"]["n_keys"] == 3
