@@ -1,0 +1,260 @@
+"""Prometheus exposition-format parse + relabel —
+ProcessorPromParseMetricNative (core/plugin/processor/inner/
+ProcessorPromParseMetricNative.cpp + the TextParser state machine it drives,
+core/prometheus/labels/TextParser.cpp:85-330) and
+ProcessorPromRelabelMetricNative's relabel action set
+(core/prometheus/labels/Relabel.cpp:141-252), re-expressed as pure-Catalyst
+projections: one validating regex + one pair-extraction pass per line for the
+parser, and per-rule map/filter expressions for relabeling. No Python in
+either path; both pipeline inside the scan stage (zero shuffle), so the
+operators hold their shape at any scrape-corpus size.
+
+Parser semantics preserved from TextParser:
+
+* comment/blank lines are skipped silently (IsValidMetric,
+  core/prometheus/Utils.cpp:102-113); structurally invalid lines are DROPPED
+  (ParseLine false → event not emitted);
+* metric name ``[A-Za-z_:][A-Za-z0-9_:]*``; label names
+  ``[A-Za-z_][A-Za-z0-9_]*``; label values are double-quoted with the escape
+  set ``\\\\``, ``\\"``, ``\\n`` — an INVALID escape pair is kept verbatim
+  (TextParser.cpp:178-195), which the sentinel-chain unescape reproduces
+  exactly left-to-right;
+* after each label value only ``,`` or ``}`` may follow (trailing comma ok);
+* sample value must terminate at whitespace/#/EOL; ``+Inf``/``-Inf``/``NaN``
+  spellings parse per C++ ``StringTo<double>`` (hex-float spellings are
+  accepted by the C++ parser but not here — not emitted by any exporter);
+* the optional trailing ``# exemplar`` section is ignored;
+* a timestamp below 2^31 is interpreted as SECONDS and scaled ×1000,
+  otherwise it is milliseconds (TextParser.cpp:306-310); with
+  ``honor_timestamps`` a (scaled) timestamp under 10 digits of seconds is an
+  error (line dropped, TextParser.cpp:314-318), without it the scrape-time
+  default is used;
+* ``__name__`` is injected into the label map last (overwriting a parsed
+  label of that name), mirroring ProcessorPromParseMetricNative.cpp:63.
+
+Relabel semantics follow the reference's action set; ``replace`` uses the
+upstream-Prometheus ANCHORED full-match expansion (the reference's boost
+variant splices into partial matches — identical on the anchored regexes real
+scrape configs use, noted divergence otherwise).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .parse import merge_maps
+
+_NAME = r"[A-Za-z_:][A-Za-z0-9_:]*"
+_LNAME = r"[A-Za-z_][A-Za-z0-9_]*"
+_LVAL = r'"(?:[^"\\]|\\.)*"'
+_PAIR = rf"{_LNAME}\s*=\s*{_LVAL}"
+_LABELS = rf"\{{\s*(?:{_PAIR}\s*,\s*)*(?:{_PAIR}\s*)?\}}"
+_NUM = r"[0-9.eE+\-IiNnFfTtYyXxAa]+"
+_LINE = rf"^\s*({_NAME})\s*({_LABELS})?\s*({_NUM})(?:[ \t]+({_NUM}))?[ \t]*(?:#.*)?$"
+
+_SENTINEL = "\x01"
+
+
+def _unescape(v: Column) -> Column:
+    """Left-to-right prometheus label-value unescape via the sentinel chain:
+    protect ``\\\\`` first so a following char is never re-interpreted, then
+    decode ``\\"`` and ``\\n``, then restore the protected backslashes.
+    Invalid pairs (e.g. ``\\x``) fall through verbatim — reference behavior."""
+    s = F.replace(v, F.lit("\\\\"), F.lit(_SENTINEL))
+    s = F.replace(s, F.lit('\\"'), F.lit('"'))
+    s = F.replace(s, F.lit("\\n"), F.lit("\n"))
+    return F.replace(s, F.lit(_SENTINEL), F.lit("\\"))
+
+
+def _dedup_last_wins(entries: Column) -> Column:
+    """Drop entries shadowed by a LATER entry with the same key (SetTag
+    overwrite order) — keeps map_from_entries valid under the vanilla
+    session's mapKeyDedupPolicy=EXCEPTION. O(n²) in labels-per-line (≤ dozens)."""
+    return F.filter(
+        entries,
+        lambda e, i: ~F.exists(
+            F.slice(entries, i + 2, F.greatest(F.size(entries) - i - 1, F.lit(0))),
+            lambda e2: e2["key"] == e["key"],
+        ),
+    )
+
+
+def prom_parse(
+    df: DataFrame,
+    content_col: str = "content",
+    default_ts_ms: int = 0,
+    honor_timestamps: bool = True,
+) -> DataFrame:
+    """Parse one exposition line per row into
+    ``(name, labels map<string,string>, value double, ts_ms bigint)``,
+    dropping comment/blank/invalid lines; all other columns pass through."""
+    c = F.col(content_col)
+    stripped = F.regexp_replace(c, r"^[ \t]+", "")
+    is_metric = (F.length(stripped) > 0) & ~stripped.startswith("#")
+    shape_ok = c.rlike(_LINE)
+    name = F.regexp_extract(c, _LINE, 1)
+    blk = F.regexp_extract(c, _LINE, 2)
+    vs = F.regexp_extract(c, _LINE, 3)
+    ts_s = F.regexp_extract(c, _LINE, 4)
+
+    pairs = F.regexp_extract_all(blk, F.lit(rf"({_PAIR})"), 1)
+    entries = F.transform(
+        pairs,
+        lambda p: F.struct(
+            F.regexp_extract(p, rf"^({_LNAME})", 1).alias("key"),
+            _unescape(F.regexp_extract(p, rf'"((?:[^"\\]|\\.)*)"', 1)).alias("value"),
+        ),
+    )
+    with_name = F.concat(
+        entries, F.array(F.struct(F.lit("__name__").alias("key"), name.alias("value")))
+    )
+    labels = F.map_from_entries(_dedup_last_wins(with_name))
+
+    lv = F.lower(vs)
+    value = (
+        F.when(lv.isin("inf", "+inf", "infinity", "+infinity"), F.lit(float("inf")))
+        .when(lv.isin("-inf", "-infinity"), F.lit(float("-inf")))
+        .when(lv.isin("nan", "+nan", "-nan"), F.lit(float("nan")))
+        .otherwise(vs.try_cast("double"))
+    )
+
+    has_ts = ts_s != ""
+    tnum = ts_s.try_cast("double")
+    milli = F.when(tnum < F.lit(float(1 << 31)), tnum * 1000).otherwise(tnum)
+    ts_ok = tnum.isNotNull() & (tnum <= F.lit(float(1 << 63)))
+    if honor_timestamps:
+        ts_ok = ts_ok & (F.floor(milli / 1000) >= 1000000000)
+        ts_ms = F.when(has_ts, milli.cast("long")).otherwise(F.lit(default_ts_ms))
+    else:
+        ts_ms = F.lit(default_ts_ms).cast("long")
+
+    ok = is_metric & shape_ok & value.isNotNull() & (~has_ts | ts_ok)
+    keep = [col for col in df.columns if col != content_col]
+    return (
+        df.select(
+            *keep,
+            ok.alias("_ok"),
+            F.when(ok, name).alias("name"),
+            F.when(ok, labels).alias("labels"),
+            F.when(ok, value).alias("value"),
+            F.when(ok, ts_ms).alias("ts_ms"),
+        )
+        .filter(F.col("_ok"))
+        .drop("_ok")
+    )
+
+
+@dataclass(frozen=True)
+class RelabelRule:
+    """One relabel_config (Relabel.cpp field set). ``regex`` is implicitly
+    anchored (prometheus semantics); ``replacement``/``target_label`` may use
+    ``$1``-style group references for replace/labelmap."""
+
+    action: str  # keep|drop|keepequal|dropequal|replace|lowercase|uppercase|
+    #              hashmod|labelmap|labeldrop|labelkeep|dropmetric
+    source_labels: tuple[str, ...] = ()
+    separator: str = ";"
+    target_label: str = ""
+    regex: str = "(.*)"
+    replacement: str = "$1"
+    modulus: int = 0
+    match_list: tuple[str, ...] = ()
+
+
+def _src_val(labels: Column, rule: RelabelRule) -> Column:
+    vals = [
+        F.coalesce(F.try_element_at(labels, F.lit(sl)), F.lit(""))
+        for sl in rule.source_labels
+    ] or [F.lit("")]
+    return F.concat_ws(rule.separator, *vals)
+
+
+def prom_relabel(
+    df: DataFrame, rules: list[RelabelRule], labels_col: str = "labels"
+) -> DataFrame:
+    """Apply relabel rules in order (Relabel.cpp:141-252). Row-dropping
+    actions (keep/drop/keepequal/dropequal/dropmetric) become filters; label
+    rewrites fold into one map expression per rule — the whole rule chain
+    compiles to a single codegen projection + conjunctive filter."""
+    out = df
+    for rule in rules:
+        labels = F.col(labels_col)
+        val = _src_val(labels, rule)
+        full = f"^(?:{rule.regex})$"
+        a = rule.action
+        if a == "keep":
+            out = out.filter(val.rlike(full))
+        elif a == "drop":
+            out = out.filter(~val.rlike(full))
+        elif a == "keepequal":
+            out = out.filter(
+                F.coalesce(F.try_element_at(labels, F.lit(rule.target_label)), F.lit(""))
+                == val
+            )
+        elif a == "dropequal":
+            out = out.filter(
+                F.coalesce(F.try_element_at(labels, F.lit(rule.target_label)), F.lit(""))
+                != val
+            )
+        elif a == "dropmetric":
+            out = out.filter(~val.isin(*rule.match_list))
+        elif a == "replace":
+            matched = val.rlike(full)
+            newkey = F.regexp_replace(val, full, rule.target_label)
+            newval = F.regexp_replace(val, full, rule.replacement)
+            erased = F.map_filter(labels, lambda k, _: k != newkey)
+            rewritten = F.when(newval == "", erased).otherwise(
+                merge_maps(labels, F.map_from_arrays(F.array(newkey), F.array(newval)))
+            )
+            out = out.withColumn(
+                labels_col, F.when(matched, rewritten).otherwise(labels)
+            )
+        elif a in ("lowercase", "uppercase"):
+            cased = F.lower(val) if a == "lowercase" else F.upper(val)
+            out = out.withColumn(
+                labels_col,
+                merge_maps(
+                    labels,
+                    F.map_from_arrays(F.array(F.lit(rule.target_label)), F.array(cased)),
+                ),
+            )
+        elif a == "hashmod":
+            # last 8 md5 bytes as uint64 mod modulus (Relabel.cpp:195-206);
+            # conv() yields the unsigned decimal string, decimal(38,0) holds it
+            h = F.conv(F.substring(F.md5(val.cast("binary")), 17, 16), 16, 10)
+            mod = F.pmod(h.cast("decimal(38,0)"), F.lit(rule.modulus)).cast("bigint")
+            out = out.withColumn(
+                labels_col,
+                merge_maps(
+                    labels,
+                    F.map_from_arrays(
+                        F.array(F.lit(rule.target_label)), F.array(mod.cast("string"))
+                    ),
+                ),
+            )
+        elif a == "labelmap":
+            mapped = F.transform(
+                F.filter(F.map_entries(labels), lambda e: e["key"].rlike(full)),
+                lambda e: F.struct(
+                    F.regexp_replace(e["key"], full, rule.replacement).alias("key"),
+                    e["value"].alias("value"),
+                ),
+            )
+            out = out.withColumn(
+                labels_col,
+                merge_maps(labels, F.map_from_entries(_dedup_last_wins(mapped))),
+            )
+        elif a == "labeldrop":
+            out = out.withColumn(
+                labels_col, F.map_filter(labels, lambda k, _: ~k.rlike(full))
+            )
+        elif a == "labelkeep":
+            out = out.withColumn(
+                labels_col, F.map_filter(labels, lambda k, _: k.rlike(full))
+            )
+        else:
+            raise ValueError(f"unknown relabel action {a!r}")
+    return out
