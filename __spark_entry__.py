@@ -2326,6 +2326,21 @@ def q_prom_relabel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011), asymmetric-distance
+    variant: 64-dim embeddings → m=4 subspaces × k=16 deterministic codes
+    (the 16 lowest-id vectors' sub-slices, code = id-sorted position), ADC
+    top-10 for three probe queries. The ORACLE unrolls the entire index —
+    sub-slicing, per-subspace argmin encode, query lookup tables, the
+    integer-nano ADC sum and the final rank — in SQL, so the whole PQ path
+    (not just the ranking) sits under the gate. Distances are integer nanos
+    (skew_probe lesson: float Σ over a SQL group is ULP-unstable)."""
+    from loongcollector_spark.operators.ann import pq_ann_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return pq_ann_topk(e, query_ids=[100, 200, 300], topk=10, m=4, k=16)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry. ORDER MATTERS: the driver's correctness gate reads only
     the FIRST 50 entries. Round-5 window (tools/driver_check.py --coverage
@@ -2352,6 +2367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dups": q_simhash_dups,
         "simhash_dups_md5": q_simhash_dups_md5,
         "dup_span_strip": q_dup_span_strip,
+        "pq_ann": q_pq_ann,
         # --- group 2: oldest stale (last green r2) ---
         "dedup_exact": q_dedup_exact,
         "tpch_q1": q_tpch_q1,
@@ -2393,8 +2409,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster": q_dedup_cluster,
         "vocab_topk": q_vocab_topk,
         "sample_stratified": q_sample_stratified,
+        # --- out of window: green at last check (r3/r4); decontaminate
+        # displaced past the 50-boundary by pq_ann ---
         "decontaminate": q_decontaminate,
-        # --- out of window: green at last check (r3/r4) ---
         "keyword_tag": q_keyword_tag,
         "cluster_survivors": q_cluster_survivors,
         "zipf_fit": q_zipf_fit,
@@ -4020,6 +4037,38 @@ def oracle_sql() -> dict[str, str]:
             with ids as (select unnest(range(60)) as i)
             select a.i as id_a, b.i as id_b, cast(0 as int) as hamming
             from ids a join ids b on a.i // 3 = b.i // 3 and a.i < b.i
+        """,
+        "pq_ann": """
+            with v as (select vec_id, cast(embedding as double[]) as v from embeddings),
+            js as (select unnest(range(4)) as j),
+            cb as (select j, vec_id as code, list_slice(v, j*16+1, (j+1)*16) as sub
+                   from v, js where vec_id < 16),
+            sub as (select vec_id, j, list_slice(v, j*16+1, (j+1)*16) as s from v, js),
+            d as (select s.vec_id, s.j, cb.code,
+                    round(list_sum(list_transform(range(1, 17),
+                      i -> (s.s[i] - cb.sub[i]) ^ 2)), 9) as d2
+                  from sub s join cb on s.j = cb.j),
+            enc as (select vec_id, j, code from (
+                      select *, row_number() over (partition by vec_id, j
+                                                   order by d2, code) as rn from d)
+                    where rn = 1),
+            q as (select vec_id as query_id, v as qv from v where vec_id in (100, 200, 300)),
+            lut as (select q.query_id, cb.j, cb.code,
+                      cast(round(list_sum(list_transform(range(1, 17),
+                        i -> (list_slice(q.qv, cb.j*16+1, (cb.j+1)*16)[i] - cb.sub[i]) ^ 2))
+                        * 1e9) as bigint) as ld
+                    from q, cb),
+            adc as (select l.query_id, e.vec_id as neighbor_id,
+                           cast(sum(l.ld) as bigint) as adc_n9
+                    from enc e
+                    join lut l on e.j = l.j and e.code = l.code
+                    where e.vec_id <> l.query_id
+                    group by 1, 2)
+            select query_id, neighbor_id, adc_n9, cast(rk as int) as rk from (
+              select *, row_number() over (partition by query_id
+                                           order by adc_n9, neighbor_id) as rk
+              from adc)
+            where rk <= 10
         """,
     }
     transforms = {

@@ -136,3 +136,155 @@ def ann_ivf_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", F.col("id").alias("neighbor_id"), "cos6", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-scale ANN path
+# ---------------------------------------------------------------------------
+
+def _raw_dist2(a, b) -> F.Column:
+    """Squared L2 distance as an ORDERED left fold over the index sequence —
+    the same element order DuckDB's list_sum(list_transform(range…)) uses, so
+    the raw double is bit-identical across engines."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _dist2(a, b) -> F.Column:
+    """_raw_dist2 rounded at 9 BEFORE any argmin/rank so Spark and DuckDB
+    replay identical ordering decisions (same policy as cosine/6)."""
+    return F.round(_raw_dist2(a, b), 9)
+
+
+def _pq_codebook_row(df: DataFrame, m: int, k: int, id_col: str, vec_col: str):
+    """ONE broadcastable row holding all m·k codebook entries as
+    ``cbs: array<array<array<double>>>`` (cbs[j][c] = code c of subspace j).
+    Deterministic 'training': the k lowest-id vectors' sub-slices are the
+    codes — same rationale as ivf_assign's quantizer (a DuckDB oracle must
+    replay the index bit-for-bit; production would Lloyd-train per subspace
+    with the semdedup machinery, which changes only this function)."""
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
+    base = v.orderBy("id").limit(k)
+    row = base.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("id").alias("c"), F.col("v").alias("vv")))
+        ).alias("_vs")
+    )
+    # code == POSITION in the id-sorted list (0-based), not the raw id — the
+    # code space must be dense [0, k) whatever the training ids are.
+    return row.select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda j: F.transform(
+                F.col("_vs"),
+                lambda s: F.slice(
+                    s["vv"],
+                    j * (F.size(s["vv"]) / m).cast("int") + 1,
+                    (F.size(s["vv"]) / m).cast("int"),
+                ),
+            ),
+        ).alias("cbs")
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ encode: each vector → ``codes array<int>`` of length m (code j =
+    argmin squared-L2 of sub-vector j against subspace j's k codes; ties to
+    the lowest code). Jégou et al. 2011 "Product Quantization for Nearest
+    Neighbor Search" — memory per vector drops from dim·4B to m bytes, the
+    index that fits 10^11 vectors in RAM.
+
+    Scale shape: ZERO corpus shuffle — the m·k codebook rides in as ONE
+    broadcast row (semdedup's broadcast-argmin pattern) and encoding is a
+    nested transform/array_min inside whole-stage codegen; cost O(dim·k) per
+    vector, pipelined in the scan."""
+    cb = _pq_codebook_row(df, m, k, id_col, vec_col)
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
+    sd = (F.size(F.col("v")) / m).cast("int")
+
+    def code_for(j):
+        sub = F.slice(F.col("v"), j * sd + 1, sd)
+        best = F.array_min(
+            F.transform(
+                F.element_at(F.col("cbs"), j + 1),
+                lambda cvec, c: F.struct(_dist2(sub, cvec).alias("d"), c.alias("code")),
+            )
+        )
+        return best["code"]
+
+    return v.crossJoin(F.broadcast(cb)).select(
+        "id",
+        F.transform(F.sequence(F.lit(0), F.lit(m - 1)), code_for).alias("codes"),
+    )
+
+
+def pq_ann_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    topk: int = 10,
+    m: int = 4,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k: per query, distance to every
+    corpus vector is approximated as Σ_j lut[j][codes[j]] where lut[j][c] =
+    dist²(query_sub_j, codebook[j][c]) — the query is NEVER quantized (ADC,
+    the accurate variant in Jégou et al.). Returns
+    (query_id, neighbor_id, adc_n9, rk), rk ≤ topk — ``adc_n9`` is the ADC
+    distance in INTEGER nanos (each lut cell is round(d²·10⁹) as bigint, the
+    sum is exact integer math): a float Σ over a SQL group aggregates in
+    engine-chosen order and can land on a different ULP than Spark's ordered
+    fold (the skew_probe r4 lesson), while integer cells make the ranking
+    canonicalization-proof.
+
+    Scale shape: the corpus moves ONCE as (id, codes) — m small ints per
+    vector; each of the Q queries carries its m·k lookup table in a broadcast
+    (Q·m·k doubles), the scan computes Σ lut lookups per row (O(m), not
+    O(dim)) inside codegen, and per-query top-k is a window over the scored
+    stream. No pairwise vector math at query time — the PQ design point."""
+    codes = pq_encode(df, m, k, id_col, vec_col)
+    cb = _pq_codebook_row(df, m, k, id_col, vec_col)
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
+    q = (
+        v.filter(F.col("id").isin(*[int(x) for x in query_ids]))
+        .select(F.col("id").alias("query_id"), F.col("v").alias("qv"))
+        .crossJoin(F.broadcast(cb))
+    )
+    sd = (F.size(F.col("qv")) / m).cast("int")
+    lut = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: F.transform(
+            F.element_at(F.col("cbs"), j + 1),
+            lambda cvec: F.round(
+                _raw_dist2(F.slice(F.col("qv"), j * sd + 1, sd), cvec) * F.lit(1e9)
+            ).cast("long"),
+        ),
+    )
+    qlut = F.broadcast(q.select("query_id", lut.alias("lut")))
+    scored = codes.join(qlut).filter(F.col("id") != F.col("query_id"))
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("lut"),
+            lambda c, row: F.element_at(row, c + 1),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.col("adc_n9"), F.col("id"))
+    return (
+        scored.withColumn("adc_n9", adc)
+        .withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= topk)
+        .select("query_id", F.col("id").alias("neighbor_id"), "adc_n9", "rk")
+    )

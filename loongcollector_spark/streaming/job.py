@@ -80,6 +80,73 @@ def stream_sequences_rate(
     )
 
 
+KAFKA_SOURCE_SCHEMA = (
+    "key binary, value binary, topic string, partition int, offset bigint, "
+    "timestamp timestamp, timestampType int"
+)
+
+
+def decode_kafka_sequences(raw: DataFrame) -> DataFrame:
+    """Kafka-record → sequence-row decoder (plugins/input/kafka — the
+    reference's most common external source; its ConsumerGroup feeds raw
+    value bytes into the same processor chain as file input).
+
+    Works on ANY DataFrame carrying Spark's kafka source schema (key/value
+    binary + topic/partition/offset/timestamp) — batch or streaming — so the
+    decode contract is testable without a broker. The value payload is the
+    JSON envelope a tokenizer service publishes
+    (``{"doc_id":…, "tokens":[…], "n_tok":…, "source":…}``); rows whose
+    payload fails to decode or misses doc_id/tokens are DROPPED (the
+    reference's kafka input logs-and-skips undecodable messages). ``n_tok``
+    is re-derived from the array when absent. Pure ``from_json`` projection —
+    no shuffle, no Python; at scale parallelism is the topic's partition
+    count, exactly like the reference's one-consumer-per-partition model.
+    """
+    payload = F.from_json(
+        F.col("value").cast("string"),
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    return (
+        raw.select(
+            payload["doc_id"].alias("doc_id"),
+            payload["tokens"].alias("tokens"),
+            F.coalesce(payload["n_tok"], F.size(payload["tokens"])).alias("n_tok"),
+            F.coalesce(payload["source"], F.lit("kafka")).alias("source"),
+        )
+        .filter(F.col("doc_id").isNotNull() & F.col("tokens").isNotNull())
+    )
+
+
+def stream_sequences_kafka(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+    max_offsets_per_trigger: int | None = None,
+) -> DataFrame:
+    """Non-file streaming source #2: a real kafka topic behind the same
+    sequence-schema seam as ``stream_sequences``/``stream_sequences_rate`` —
+    the downstream pipeline (decode → parse → route → fan-out) is identical
+    stateless projections. Offsets ride Spark's streaming checkpoint
+    (at-least-once + resume, the ConsumerGroup-offset-commit analog).
+
+    NOTE: needs the spark-sql-kafka package on the classpath and a reachable
+    broker — neither exists in this sandbox, so this wiring is exercised only
+    through ``decode_kafka_sequences`` contract tests on statically-built
+    kafka-schema frames; the format-level decode and plan shape are the
+    tested surface.
+    """
+    r = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+    )
+    if max_offsets_per_trigger:
+        r = r.option("maxOffsetsPerTrigger", max_offsets_per_trigger)
+    return decode_kafka_sequences(r.load())
+
+
 def stream_pipeline(
     spark: SparkSession,
     input_dir: str,
@@ -238,4 +305,150 @@ def windowed_cms(
         "r",
         "col",
         "c",
+    )
+
+
+def windowed_topk_stream(
+    events: DataFrame,
+    item_col: str = "user_id",
+    window_sec: int = 300,
+    k: int = 5,
+    capacity: int | None = None,
+    time_col: str = "ts",
+) -> DataFrame:
+    """Streaming heavy hitters per event-time window in BOUNDED state — the
+    identity-carrying companion of ``windowed_cms`` (the sketch bounds state
+    but can only answer point queries; top-k needs candidate identities,
+    which a naive per-(window, item) count keeps in O(distinct) state rows).
+
+    SpaceSaving (Metwally et al. 2005) summary per window via
+    ``applyInPandasWithState`` keyed by the window start: at most
+    ``capacity`` (default 10·k) counters — when a new item arrives at a full
+    summary it REPLACES the minimum counter and inherits its count (the
+    classic admit-with-error rule), so per-window state is O(capacity)
+    regardless of item cardinality, and any item with true count >
+    N/capacity is guaranteed present. When the number of distinct items in a
+    window never exceeds capacity the summary is EXACT (pytest asserts
+    parity with the batch exact top-k on such a fixture).
+
+    Rows out (append, on window close via event-time timeout):
+    ``(window_start, item, est_count, max_err, rk)`` — est_count
+    overestimates by ≤ max_err (the inherited count at admission).
+    """
+    from typing import Any, Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    cap = capacity or 10 * k
+    out_schema = T.StructType(
+        [
+            T.StructField("window_start", T.TimestampType()),
+            T.StructField("item", T.StringType()),
+            T.StructField("est_count", T.LongType()),
+            T.StructField("max_err", T.LongType()),
+            T.StructField("rk", T.IntegerType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("items", T.ArrayType(T.StringType())),
+            T.StructField("counts", T.ArrayType(T.LongType())),
+            T.StructField("errs", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def _summarize(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (wstart,) = key
+        if state.hasTimedOut:
+            items, counts, errs = state.get if state.exists else ([], [], [])
+            top = sorted(zip(items, counts, errs), key=lambda t: (-t[1], t[0]))[:k]
+            state.remove()
+            if top:
+                yield pd.DataFrame(
+                    {
+                        "window_start": [wstart] * len(top),
+                        "item": [t[0] for t in top],
+                        "est_count": [t[1] for t in top],
+                        "max_err": [t[2] for t in top],
+                        "rk": list(range(1, len(top) + 1)),
+                    }
+                )
+            return
+        if state.exists:
+            items, counts, errs = state.get
+            summary = {it: [c, e] for it, c, e in zip(items, counts, errs)}
+        else:
+            summary = {}
+        for pdf in pdfs:
+            for it, n in pdf["_item"].value_counts().items():
+                n = int(n)
+                if it in summary:
+                    summary[it][0] += n
+                elif len(summary) < cap:
+                    summary[it] = [n, 0]
+                else:
+                    # SpaceSaving eviction: replace the min counter (ties ->
+                    # lexicographically smallest item for determinism)
+                    evict = min(summary.items(), key=lambda kv: (kv[1][0], kv[0]))
+                    mc = evict[1][0]
+                    del summary[evict[0]]
+                    summary[it] = [mc + n, mc]
+        state.update(
+            (
+                list(summary.keys()),
+                [v[0] for v in summary.values()],
+                [v[1] for v in summary.values()],
+            )
+        )
+        # close the summary once the watermark passes the window end
+        state.setTimeoutTimestamp(
+            int(wstart.timestamp() * 1000) + window_sec * 1000
+        )
+        return
+        yield  # pragma: no cover — generator protocol
+
+    bucketed = (
+        events.withWatermark(time_col, f"{window_sec} seconds")
+        .select(
+            F.window(F.col(time_col), f"{window_sec} seconds")["start"].alias("_w"),
+            F.col(item_col).cast("string").alias("_item"),
+            # the watermarked event-time column must flow into the stateful
+            # operator for EventTimeTimeout to resolve
+            F.col(time_col),
+        )
+    )
+    return bucketed.groupBy("_w").applyInPandasWithState(
+        _summarize, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+    )
+
+
+def spacesaving_topk_batch(
+    df: DataFrame,
+    item_col: str = "user_id",
+    window_sec: int = 300,
+    k: int = 5,
+    time_col: str = "ts",
+) -> DataFrame:
+    """Batch twin of windowed_topk_stream for parity tests: EXACT per-window
+    top-k (count desc, item asc) — equals the streaming SpaceSaving output
+    whenever distinct items per window ≤ capacity."""
+    from pyspark.sql.window import Window as W
+
+    counts = (
+        df.select(
+            F.window(F.col(time_col), f"{window_sec} seconds")["start"].alias("window_start"),
+            F.col(item_col).cast("string").alias("item"),
+        )
+        .groupBy("window_start", "item")
+        .agg(F.count(F.lit(1)).alias("est_count"))
+    )
+    w = W.partitionBy("window_start").orderBy(F.col("est_count").desc(), "item")
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("window_start", "item", "est_count", F.lit(0).cast("long").alias("max_err"), "rk")
     )

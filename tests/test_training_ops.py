@@ -1499,3 +1499,32 @@ def test_url_dedup_keeps_min_id(spark):
     assert not out[2]["is_kept"] and not out[3]["is_kept"]
     assert out[4]["is_kept"] and out[4]["n_dups"] == 1
     assert out[2]["url_canon"] == out[1]["url_canon"] == "a.com/x"
+
+
+def test_pq_ann(spark):
+    """PQ encode + ADC top-k: codes are dense positional indices, ADC ranking
+    approximates exact L2 well enough that each query's true nearest neighbor
+    (a near-duplicate vector planted next to it) ranks first, and the plan
+    keeps the corpus unjoined to any vector table at query time (codes only)."""
+    import random
+
+    from loongcollector_spark.operators.ann import pq_ann_topk, pq_encode
+
+    rng = random.Random(11)
+    dim, n = 16, 80
+    rows = []
+    for i in range(n):
+        rows.append((i, [rng.uniform(-1, 1) for _ in range(dim)]))
+    # plant near-dups: vector 70 ~ vector 30, vector 71 ~ vector 40
+    rows[70] = (70, [x + 0.01 for x in rows[30][1]])
+    rows[71] = (71, [x - 0.01 for x in rows[40][1]])
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    codes = {r.id: r.codes for r in pq_encode(df, m=4, k=8).collect()}
+    assert len(codes) == n and all(len(c) == 4 for c in codes.values())
+    assert all(0 <= x < 8 for c in codes.values() for x in c)
+    # a training vector encodes to its own position in every subspace
+    assert codes[0] == [0, 0, 0, 0] and codes[5] == [5, 5, 5, 5]
+    out = pq_ann_topk(df, query_ids=[70, 71], topk=5, m=4, k=8)
+    got = {(r.query_id, r.rk): r.neighbor_id for r in out.collect()}
+    assert got[(70, 1)] == 30 and got[(71, 1)] == 40  # planted NN wins ADC
+    assert len(got) == 10
