@@ -2341,6 +2341,67 @@ def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_ann_topk(e, query_ids=[100, 200, 300], topk=10, m=4, k=16)
 
 
+def q_parse_pb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLS protobuf LogGroup decode (processor_parse_from_pb_native /
+    pkg/protocol/proto/sls_logs.proto wire model): blobs are ENCODED in-plan
+    by the pure-Python wire encoder (pandas UDF) from `events` columns, then
+    decoded by the mapInPandas operator — the oracle recomputes the expected
+    rows directly from the construction inputs, so the gate proves
+    decode∘encode = identity across the full field set (varint time, fixed32
+    time_ns on even logs, contents, group meta, tags). The wire bytes
+    themselves are pinned by hand-derived known-answer vectors in
+    tests/test_slspb.py."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from loongcollector_spark.operators.slspb import (
+        encode_log,
+        encode_log_group,
+        parse_sls_pb,
+    )
+
+    # NOTE: no type hints — the module's `from __future__ import annotations`
+    # stringifies them and pandas_udf can't resolve 'pd.Series' lazily
+    @pandas_udf("binary")
+    def _enc(event_id, event_type, user_id):
+        out = []
+        for eid, et, uid in zip(event_id, event_type, user_id):
+            logs = [
+                encode_log(
+                    1700000000 + int(eid) * 2 + j,
+                    [("et", str(et)), ("uid", str(int(uid)))],
+                    time_ns=(int(eid) % 1000) if j == 0 else None,
+                )
+                for j in range(2)
+            ]
+            out.append(
+                encode_log_group(
+                    logs,
+                    category=f"store{int(eid) % 4}",
+                    source=f"src{int(uid) % 10}",
+                    tags=[("env", "prod" if eid % 2 == 0 else "dev")],
+                )
+            )
+        return pd.Series(out)
+
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    blobs = e.select(
+        "event_id", _enc("event_id", "event_type", "user_id").alias("payload")
+    )
+    out = parse_sls_pb(blobs)
+    return out.select(
+        "event_id",
+        "log_idx",
+        "category",
+        "source",
+        "time",
+        "time_ns",
+        F.try_element_at("fields", F.lit("et")).alias("et"),
+        F.try_element_at("fields", F.lit("uid")).alias("uid"),
+        F.try_element_at("tags", F.lit("env")).alias("env"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry. ORDER MATTERS: the driver's correctness gate reads only
     the FIRST 50 entries. Round-5 window (tools/driver_check.py --coverage
@@ -2368,6 +2429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dups_md5": q_simhash_dups_md5,
         "dup_span_strip": q_dup_span_strip,
         "pq_ann": q_pq_ann,
+        "parse_pb": q_parse_pb,
         # --- group 2: oldest stale (last green r2) ---
         "dedup_exact": q_dedup_exact,
         "tpch_q1": q_tpch_q1,
@@ -2408,6 +2470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encrypt": q_encrypt,
         "dedup_cluster": q_dedup_cluster,
         "vocab_topk": q_vocab_topk,
+        # --- out of window (sample_stratified displaced by parse_pb) ---
         "sample_stratified": q_sample_stratified,
         # --- out of window: green at last check (r3/r4); decontaminate
         # displaced past the 50-boundary by pq_ann ---
@@ -4037,6 +4100,19 @@ def oracle_sql() -> dict[str, str]:
             with ids as (select unnest(range(60)) as i)
             select a.i as id_a, b.i as id_b, cast(0 as int) as hamming
             from ids a join ids b on a.i // 3 = b.i // 3 and a.i < b.i
+        """,
+        "parse_pb": """
+            with e as (select event_id, event_type, user_id
+                       from events where event_id < 2000),
+            js as (select unnest(range(2)) as j)
+            select event_id, cast(j as int) as log_idx,
+                   'store' || cast(event_id % 4 as varchar) as category,
+                   'src' || cast(user_id % 10 as varchar) as source,
+                   1700000000 + event_id * 2 + j as time,
+                   case when j = 0 then event_id % 1000 end as time_ns,
+                   event_type as et, cast(user_id as varchar) as uid,
+                   case when event_id % 2 = 0 then 'prod' else 'dev' end as env
+            from e, js
         """,
         "pq_ann": """
             with v as (select vec_id, cast(embedding as double[]) as v from embeddings),
