@@ -2402,6 +2402,38 @@ def q_parse_pb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_metric_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UntypedMultiDoubleValues model (core/models/MetricValue.h:47-81):
+    events → multi-value metric rows (two counters + one gauge in ONE values
+    map) → the counter/gauge merge per event_type. Counters are fed
+    integer-valued doubles (cents) so the cross-engine sum is exact in any
+    aggregation order; the gauge takes the latest (ts, value) observation."""
+    from loongcollector_spark.operators.metric_multi import (
+        multi_metric_merge,
+        to_multi_metric,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    mm = to_multi_metric(
+        e,
+        counters={"v_cents": F.round(F.col("value") * 100), "cnt": F.lit(1)},
+        gauges={"v_last": F.col("value")},
+        tag_cols=["event_type"],
+        time_col="ts",
+    )
+    merged = multi_metric_merge(mm, {"event_type": F.col("tags")["event_type"]})
+    v = F.col("values")
+    return merged.select(
+        "event_type",
+        "n_obs",
+        v["v_cents"]["value"].alias("v_cents_sum"),
+        v["cnt"]["value"].alias("cnt_sum"),
+        v["v_last"]["value"].alias("v_last"),
+        v["v_cents"]["mtype"].alias("mt_counter"),
+        v["v_last"]["mtype"].alias("mt_gauge"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry. ORDER MATTERS: the driver's correctness gate reads only
     the FIRST 50 entries. Round-5 window (tools/driver_check.py --coverage
@@ -2430,6 +2462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_strip": q_dup_span_strip,
         "pq_ann": q_pq_ann,
         "parse_pb": q_parse_pb,
+        "metric_multi": q_metric_multi,
         # --- group 2: oldest stale (last green r2) ---
         "dedup_exact": q_dedup_exact,
         "tpch_q1": q_tpch_q1,
@@ -2469,8 +2502,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gotime_go": q_gotime_go,
         "encrypt": q_encrypt,
         "dedup_cluster": q_dedup_cluster,
+        # --- out of window (vocab_topk/sample_stratified displaced by
+        # parse_pb/metric_multi) ---
         "vocab_topk": q_vocab_topk,
-        # --- out of window (sample_stratified displaced by parse_pb) ---
         "sample_stratified": q_sample_stratified,
         # --- out of window: green at last check (r3/r4); decontaminate
         # displaced past the 50-boundary by pq_ann ---
@@ -4100,6 +4134,18 @@ def oracle_sql() -> dict[str, str]:
             with ids as (select unnest(range(60)) as i)
             select a.i as id_a, b.i as id_b, cast(0 as int) as hamming
             from ids a join ids b on a.i // 3 = b.i // 3 and a.i < b.i
+        """,
+        "metric_multi": """
+            select event_type,
+                   cast(count(*) * 3 as bigint) as n_obs,
+                   cast(sum(round(value * 100)) as double) as v_cents_sum,
+                   cast(count(*) as double) as cnt_sum,
+                   (select e2.value from events e2
+                    where e2.event_type = e.event_type
+                    order by e2.ts desc, e2.value desc limit 1) as v_last,
+                   cast(0 as int) as mt_counter,
+                   cast(1 as int) as mt_gauge
+            from events e group by event_type
         """,
         "parse_pb": """
             with e as (select event_id, event_type, user_id

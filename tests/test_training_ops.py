@@ -1528,3 +1528,42 @@ def test_pq_ann(spark):
     got = {(r.query_id, r.rk): r.neighbor_id for r in out.collect()}
     assert got[(70, 1)] == 30 and got[(71, 1)] == 40  # planted NN wins ADC
     assert len(got) == 10
+
+
+def test_multi_metric_model(spark):
+    """UntypedMultiDoubleValues model: counters add, gauges keep the latest
+    observation, names live in one values map per event (MetricValue.h:47-81)."""
+    from loongcollector_spark.operators.metric_multi import (
+        COUNTER,
+        GAUGE,
+        multi_metric_merge,
+        to_multi_metric,
+    )
+
+    rows = [
+        ("a", "2024-01-01 10:00:00", 10.0),
+        ("a", "2024-01-01 10:02:00", 30.0),
+        ("a", "2024-01-01 10:01:00", 20.0),
+        ("b", "2024-01-01 09:00:00", 5.0),
+    ]
+    df = spark.createDataFrame(rows, "grp string, ts_s string, v double").select(
+        "grp", F.col("ts_s").cast("timestamp").alias("ts"), "v"
+    )
+    mm = to_multi_metric(
+        df,
+        counters={"total": F.col("v"), "hits": F.lit(1)},
+        gauges={"last_v": F.col("v")},
+        tag_cols=["grp"],
+        time_col="ts",
+    )
+    one = mm.limit(1).collect()[0]
+    assert set(one.values.keys()) == {"total", "hits", "last_v"}
+    assert one.values["total"].mtype == COUNTER and one.values["last_v"].mtype == GAUGE
+    merged = {
+        r.grp: r
+        for r in multi_metric_merge(mm, {"grp": F.col("tags")["grp"]}).collect()
+    }
+    assert merged["a"].values["total"].value == 60.0     # counter: sum
+    assert merged["a"].values["hits"].value == 3.0
+    assert merged["a"].values["last_v"].value == 30.0    # gauge: latest ts wins
+    assert merged["a"].n_obs == 9 and merged["b"].values["last_v"].value == 5.0
