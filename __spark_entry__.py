@@ -2439,12 +2439,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the FIRST 50 entries. Round-5 window (tools/driver_check.py --coverage
     enforces the policy):
 
-      1. queries whose code or oracle changed this round + the 5 new ones
-         (container/prometheus parsers, LSH fixture-oracle twins) — 10;
-      2. the OLDEST stale greens (last checked r2) — 23;
-      3. r3-stale fills — 17.
+      1. queries whose code or oracle changed this round + the new ones
+         (container/prometheus parsers, pb/metric/pq, LSH fixture-oracle
+         twins) — 13;
+      2. ALL 33 remaining r2-era stale greens (the record's oldest
+         exposure — after r5 nothing is more than two rounds stale);
+      3. r3-stale fills for the last 4 slots (the dedup/LSH family twins,
+         which share plans with this round's changed ops).
 
-    Out-of-window entries were green at their last check (r3/r4); with 139
+    Out-of-window entries were green at their last check (r3/r4); with 142
     queries and a 50-slot window some staleness is structural — the window
     always carries the never-checked + oldest-stale set first.
     """
@@ -2487,9 +2490,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_json": q_pack_json,
         "string_replace": q_string_replace,
         "anchor": q_anchor,
-        # --- group 3: r3-stale fills ---
+        "gotime": q_gotime,
+        "fields_with_condition": q_fields_with_condition,
+        "filter_key_regex": q_filter_key_regex,
+        "log_to_metric": q_log_to_metric,
+        "base64_decode": q_base64_decode,
+        "desensitize_md5_mode": q_desensitize_md5_mode,
+        "dict_map": q_dict_map,
+        "desensitize_const": q_desensitize_const,
+        "md5_field": q_md5_field,
+        "base64": q_base64,
+        # --- group 3: r3-stale fills (dedup/LSH family twins) ---
         "minhash_lsh_md5": q_minhash_lsh_md5,
         "embedding_dups_lsh": q_embedding_dups_lsh,
+        "embedding_dups": q_embedding_dups,
+        "dedup_cluster": q_dedup_cluster,
+        # --- out of window: r3-greens displaced by the r2-era block above
+        # (first in line if the window grows) ---
         "json_flatten": q_json_flatten,
         "windowed_counts": q_windowed_counts,
         "tpch_q6": q_tpch_q6,
@@ -2498,10 +2515,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multiline_merge": q_multiline_merge,
         "rate_limit": q_rate_limit,
         "ngram_jaccard": q_ngram_jaccard,
-        "embedding_dups": q_embedding_dups,
         "gotime_go": q_gotime_go,
         "encrypt": q_encrypt,
-        "dedup_cluster": q_dedup_cluster,
         # --- out of window (vocab_topk/sample_stratified displaced by
         # parse_pb/metric_multi) ---
         "vocab_topk": q_vocab_topk,
@@ -2588,16 +2603,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": q_char_entropy,
         "gopher_rules": q_gopher_rules,
         "cloud_meta_nested": q_cloud_meta_nested,
-        "gotime": q_gotime,
-        "fields_with_condition": q_fields_with_condition,
-        "filter_key_regex": q_filter_key_regex,
-        "log_to_metric": q_log_to_metric,
-        "base64_decode": q_base64_decode,
-        "desensitize_md5_mode": q_desensitize_md5_mode,
-        "dict_map": q_dict_map,
-        "desensitize_const": q_desensitize_const,
-        "md5_field": q_md5_field,
-        "base64": q_base64,
     }
 
 
