@@ -196,6 +196,7 @@ def pq_encode(
     k: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """PQ encode: each vector → ``codes array<int>`` of length m (code j =
     argmin squared-L2 of sub-vector j against subspace j's k codes; ties to
@@ -206,8 +207,12 @@ def pq_encode(
     Scale shape: ZERO corpus shuffle — the m·k codebook rides in as ONE
     broadcast row (semdedup's broadcast-argmin pattern) and encoding is a
     nested transform/array_min inside whole-stage codegen; cost O(dim·k) per
-    vector, pipelined in the scan."""
-    cb = _pq_codebook_row(df, m, k, id_col, vec_col)
+    vector, pipelined in the scan.
+
+    ``codebook``: pass a precomputed ``_pq_codebook_row`` result to avoid
+    re-deriving it (pq_ann_topk shares one codebook between encode and the
+    query LUTs — one corpus pass instead of two)."""
+    cb = codebook if codebook is not None else _pq_codebook_row(df, m, k, id_col, vec_col)
     v = df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
     sd = (F.size(F.col("v")) / m).cast("int")
 
@@ -252,8 +257,8 @@ def pq_ann_topk(
     (Q·m·k doubles), the scan computes Σ lut lookups per row (O(m), not
     O(dim)) inside codegen, and per-query top-k is a window over the scored
     stream. No pairwise vector math at query time — the PQ design point."""
-    codes = pq_encode(df, m, k, id_col, vec_col)
     cb = _pq_codebook_row(df, m, k, id_col, vec_col)
+    codes = pq_encode(df, m, k, id_col, vec_col, codebook=cb)
     v = df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
     q = (
         v.filter(F.col("id").isin(*[int(x) for x in query_ids]))

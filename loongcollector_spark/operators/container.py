@@ -178,9 +178,11 @@ def merge_container_partials(
     that count form one event — the same one-window + one-agg shape as
     merge_multiline, shuffling only on the container stream key.
 
-    Returns ``(stream, event_seq, line_no, content, n_parts, complete)`` —
-    ``line_no``/carried fields come from the FIRST row of the event (the
-    reference merges into the leading event), ``complete`` is False for a
+    Returns ``(stream, event_seq, line_no, <carried columns>, content,
+    n_parts, complete)`` — ``line_no`` and every other input column (e.g.
+    ``_time_``/``_source_`` from ``parse_container_log``) come from the FIRST
+    row of the event (the reference merges into the leading event, which
+    keeps its timestamp and stream metadata), ``complete`` is False for a
     flushed trailing partial run."""
     w = Window.partitionBy(stream_col).orderBy(order_col)
     ender = F.when(~F.col(partial_col), 1).otherwise(0)
@@ -188,10 +190,16 @@ def merge_container_partials(
         F.sum(ender).over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
     )
     tagged = df.withColumn("_evt", seq)
+    carry = [
+        f.name
+        for f in df.schema.fields
+        if f.name not in (stream_col, order_col, content_col, partial_col)
+    ]
     return (
         tagged.groupBy(stream_col, "_evt")
         .agg(
             F.min(order_col).alias(order_col),
+            *[F.min_by(F.col(c), F.col(order_col)).alias(c) for c in carry],
             F.array_join(
                 F.transform(
                     F.array_sort(

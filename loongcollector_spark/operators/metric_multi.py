@@ -38,7 +38,16 @@ def to_multi_metric(
 ) -> DataFrame:
     """Build multi-value metric rows from log/event rows: each named series
     becomes one entry of the ``values`` map (SetValue semantics — a name
-    appears once; later writes would overwrite). Pure projection."""
+    appears once). A name in BOTH ``counters`` and ``gauges`` would produce a
+    duplicate map key — ``map_from_entries`` throws under the default
+    ``mapKeyDedupPolicy=EXCEPTION`` — so it is rejected up front. Pure
+    projection."""
+    overlap = sorted(set(counters) & set(gauges))
+    if overlap:
+        raise ValueError(
+            f"to_multi_metric: series name(s) {overlap} appear in both "
+            f"counters and gauges — a values-map key holds exactly one typed entry"
+        )
     entries = [
         F.struct(
             F.lit(name).alias("key"),
@@ -75,7 +84,13 @@ def multi_metric_merge(df: DataFrame, group_exprs: dict[str, Column]) -> DataFra
 
     Float caveat: counter SUM is a float aggregation — for oracle-exact
     cross-engine comparisons feed integer-valued counters (the flagship
-    pattern: scale to cents/ppm before the sum)."""
+    pattern: scale to cents/ppm before the sum).
+
+    Type-conflict rule: a series name SHOULD carry one mtype; if observations
+    disagree (producer schema drift), the merged entry resolves
+    DETERMINISTICALLY to counter semantics (``min(mtype)`` — counter sums its
+    counter-typed observations; the stray gauge rows still count in
+    ``n_obs``), never to a partition-order-dependent ``first()``."""
     g = df.select(
         *[expr.alias(k) for k, expr in group_exprs.items()],
         "time",
@@ -85,7 +100,7 @@ def multi_metric_merge(df: DataFrame, group_exprs: dict[str, Column]) -> DataFra
     per_series = (
         g.groupBy(*keys, "name")
         .agg(
-            F.first(F.col("v.mtype")).alias("mtype"),
+            F.min(F.col("v.mtype")).alias("mtype"),
             F.sum(F.when(F.col("v.mtype") == COUNTER, F.col("v.value"))).alias("_sum"),
             F.max_by(
                 F.col("v.value"),

@@ -45,6 +45,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .parse import _dedup_entries_last_wins as _dedup_last_wins
 from .parse import _let, merge_maps
 
 _NAME = r"[A-Za-z_:][A-Za-z0-9_:]*"
@@ -59,27 +60,20 @@ _SENTINEL = "\x01"
 
 
 def _unescape(v: Column) -> Column:
-    """Left-to-right prometheus label-value unescape via the sentinel chain:
-    protect ``\\\\`` first so a following char is never re-interpreted, then
-    decode ``\\"`` and ``\\n``, then restore the protected backslashes.
-    Invalid pairs (e.g. ``\\x``) fall through verbatim — reference behavior."""
-    s = F.replace(v, F.lit("\\\\"), F.lit(_SENTINEL))
+    """Left-to-right prometheus label-value unescape via a COLLISION-PROOF
+    sentinel chain: a raw 0x01 byte in the input (exporters can emit any
+    byte; the reference TextParser passes bytes through untouched) is first
+    escaped to ``S2``, literal ``\\\\`` is protected as ``S1``, then ``\\"``
+    and ``\\n`` decode, then ``S1``→backslash and ``S2``→0x01 restore. No
+    input byte sequence can forge an ``S1``/``S2`` token, so genuine 0x01
+    bytes survive verbatim. Invalid pairs (e.g. ``\\x``) fall through
+    verbatim — reference behavior."""
+    s = F.replace(v, F.lit(_SENTINEL), F.lit(_SENTINEL + "2"))
+    s = F.replace(s, F.lit("\\\\"), F.lit(_SENTINEL + "1"))
     s = F.replace(s, F.lit('\\"'), F.lit('"'))
     s = F.replace(s, F.lit("\\n"), F.lit("\n"))
-    return F.replace(s, F.lit(_SENTINEL), F.lit("\\"))
-
-
-def _dedup_last_wins(entries: Column) -> Column:
-    """Drop entries shadowed by a LATER entry with the same key (SetTag
-    overwrite order) — keeps map_from_entries valid under the vanilla
-    session's mapKeyDedupPolicy=EXCEPTION. O(n²) in labels-per-line (≤ dozens)."""
-    return F.filter(
-        entries,
-        lambda e, i: ~F.exists(
-            F.slice(entries, i + 2, F.greatest(F.size(entries) - i - 1, F.lit(0))),
-            lambda e2: e2["key"] == e["key"],
-        ),
-    )
+    s = F.replace(s, F.lit(_SENTINEL + "1"), F.lit("\\"))
+    return F.replace(s, F.lit(_SENTINEL + "2"), F.lit(_SENTINEL))
 
 
 def prom_parse(

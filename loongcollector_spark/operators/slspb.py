@@ -202,6 +202,16 @@ def parse_sls_pb(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     PipelineEventGroup→rows mapping of SURVEY §1.1). Carries every other
     input column through; undecodable blobs are dropped."""
     carry = [f for f in df.schema.fields if f.name != payload_col]
+    pb_names = {f.name for f in PB_LOG_SCHEMA.fields}
+    clash = sorted({f.name for f in carry} & pb_names)
+    if clash:
+        # StructType would happily hold duplicate names and the row dicts
+        # would silently overwrite the carried values with the PB ones —
+        # refuse instead of corrupting pass-through columns.
+        raise ValueError(
+            f"parse_sls_pb: input column(s) {clash} collide with the decoded "
+            f"LogGroup output fields — rename or drop them first"
+        )
     out_schema = T.StructType(list(carry) + list(PB_LOG_SCHEMA.fields))
     carry_names = [f.name for f in carry]
 

@@ -383,7 +383,15 @@ def windowed_topk_stream(
             summary = {it: [c, e] for it, c, e in zip(items, counts, errs)}
         else:
             summary = {}
+        # UTC epoch of the window start, computed JVM-side (`cast(_w as long)`)
+        # so the timeout is immune to the Python worker's OS timezone —
+        # wstart itself is a naive datetime rendered in the SESSION timezone,
+        # and datetime.timestamp() would interpret it in the OS timezone
+        # (8h off under session=UTC on a UTC+8 host).
+        w_epoch: int | None = None
         for pdf in pdfs:
+            if w_epoch is None and len(pdf):
+                w_epoch = int(pdf["_w_epoch"].iloc[0])
             for it, n in pdf["_item"].value_counts().items():
                 n = int(n)
                 if it in summary:
@@ -405,9 +413,9 @@ def windowed_topk_stream(
             )
         )
         # close the summary once the watermark passes the window end
-        state.setTimeoutTimestamp(
-            int(wstart.timestamp() * 1000) + window_sec * 1000
-        )
+        if w_epoch is None:  # no rows this invocation: OS-tz fallback
+            w_epoch = int(wstart.timestamp())
+        state.setTimeoutTimestamp(w_epoch * 1000 + window_sec * 1000)
         return
         yield  # pragma: no cover — generator protocol
 
@@ -420,6 +428,9 @@ def windowed_topk_stream(
             # operator for EventTimeTimeout to resolve
             F.col(time_col),
         )
+        # UTC epoch seconds of the window start, cast JVM-side (timezone-
+        # independent) — the worker uses this for setTimeoutTimestamp
+        .withColumn("_w_epoch", F.col("_w").cast("long"))
     )
     return bucketed.groupBy("_w").applyInPandasWithState(
         _summarize, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout

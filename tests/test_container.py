@@ -107,3 +107,21 @@ def test_containerd_parse_is_shuffle_free(spark):
         .toString()
     )
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_merge_partials_carries_leading_row_fields(spark):
+    # carried columns (e.g. _time_/_source_ from parse_container_log) must
+    # come from the FIRST row of each stitched event — the reference merges
+    # into the leading event, which keeps its timestamp and metadata.
+    rows = [
+        ("c1", 1, "a", True, "t1"),
+        ("c1", 2, "b", True, "t2"),
+        ("c1", 3, "c", False, "t3"),
+        ("c1", 4, "d", False, "t4"),
+    ]
+    df = spark.createDataFrame(
+        rows, "stream_id string, line_no int, content string, is_partial boolean, _time_ string"
+    )
+    out = {r.event_seq: r for r in merge_container_partials(df).collect()}
+    assert out[0].content == "abc" and out[0]._time_ == "t1"
+    assert out[1].content == "d" and out[1]._time_ == "t4"

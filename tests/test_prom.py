@@ -144,3 +144,13 @@ def test_prom_parse_is_shuffle_free(spark):
     df = spark.createDataFrame([(1, "foo 1")], "id int, content string")
     plan = prom_parse(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_unescape_preserves_raw_sentinel_byte(spark):
+    # an exporter can emit any raw byte inside a label value; the reference
+    # TextParser passes bytes through untouched. A raw 0x01 (the unescape
+    # chain's sentinel) must survive verbatim, alongside real escapes.
+    line = 'm{a="x\x01y",b="p\\\\q\x011"} 1'
+    out = _parse(spark, [line])
+    assert out[1].labels["a"] == "x\x01y"
+    assert out[1].labels["b"] == "p\\q\x011"

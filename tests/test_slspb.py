@@ -62,3 +62,13 @@ def test_parse_sls_pb_operator(spark):
     assert r.category == "store1" and r.source == "10.0.0.1"
     assert r.tags == {"env": "prod"} and r.fields == {"msg": "m1-0", "lvl": "INFO"}
     assert r.time == 1700000010 and r.time_ns is None
+
+
+def test_parse_sls_pb_rejects_colliding_carry_columns(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [("s1", b"\x00")], "source string, payload binary"
+    )
+    with pytest.raises(ValueError, match="collide"):
+        parse_sls_pb(df)

@@ -1567,3 +1567,23 @@ def test_multi_metric_model(spark):
     assert merged["a"].values["hits"].value == 3.0
     assert merged["a"].values["last_v"].value == 30.0    # gauge: latest ts wins
     assert merged["a"].n_obs == 9 and merged["b"].values["last_v"].value == 5.0
+
+    # a name in both counters and gauges would be a duplicate map key —
+    # rejected up front instead of throwing DUPLICATED_MAP_KEY at runtime
+    import pytest
+
+    with pytest.raises(ValueError, match="both"):
+        to_multi_metric(df, counters={"x": F.col("v")}, gauges={"x": F.col("v")},
+                        tag_cols=["grp"], time_col="ts")
+
+    # type-conflicted series resolve DETERMINISTICALLY to counter semantics
+    # (min(mtype)), never partition-order-dependent first()
+    cm = to_multi_metric(df.filter(F.col("grp") == "a"),
+                         counters={"s": F.col("v")}, gauges={},
+                         tag_cols=["grp"], time_col="ts")
+    gm = to_multi_metric(df.filter(F.col("grp") == "b"),
+                         counters={}, gauges={"s": F.col("v")},
+                         tag_cols=["grp"], time_col="ts")
+    mixed = multi_metric_merge(cm.union(gm), {"one": F.lit(1)}).collect()[0]
+    assert mixed.values["s"].mtype == COUNTER
+    assert mixed.values["s"].value == 60.0  # sums the counter-typed rows only
