@@ -170,4 +170,8 @@ def with_content(
         return decode_arrow(df, tokens_col, out)
     if method == "native":
         return df.withColumn(out, decode_tokens_native(tokens_col))
-    return df.withColumn(out, decode_tokens_pandas(F.col(tokens_col)))
+    if method == "pandas":
+        return df.withColumn(out, decode_tokens_pandas(F.col(tokens_col)))
+    raise ValueError(
+        f"with_content: unknown method {method!r} (expected auto|arrow|native|pandas)"
+    )

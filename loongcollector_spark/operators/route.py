@@ -27,11 +27,12 @@ class RouteRule:
 
 
 def _anchor(r: str) -> str:
-    if not r.startswith("^"):
-        r = "^" + r
-    if not r.endswith("$"):
-        r = r + "$"
-    return r
+    # Wrap in a non-capturing group BEFORE anchoring: bare "^" + "json|delimiter"
+    # + "$" would anchor only the alternation's outer branches ("^json" OR
+    # "delimiter$"), matching 'json2' / 'xdelimiter' — not a full match. The
+    # group makes the anchors apply to the whole pattern; redundant inner
+    # anchors (a user-supplied "^foo$") stay valid inside the group.
+    return rf"^(?:{r})$"
 
 
 def route_rows(

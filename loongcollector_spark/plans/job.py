@@ -31,7 +31,14 @@ def _write_sink(df: DataFrame, path: str, num_partitions: int, keep_tokens: bool
     if not keep_tokens and "tokens" in df.columns and "content" in df.columns:
         df = df.drop("tokens")
     out = salted_repartition(df, num_partitions) if num_partitions else df
-    out.write.mode("overwrite").option("maxRecordsPerFile", 1_000_000).parquet(path)
+    # zstd, matching write_routed_partitioned/write_fanout: measured faster
+    # than the snappy default AND 35% smaller (sources/io.py)
+    (
+        out.write.mode("overwrite")
+        .option("maxRecordsPerFile", 1_000_000)
+        .option("compression", "zstd")
+        .parquet(path)
+    )
 
 
 def run_job(
@@ -81,18 +88,27 @@ def run_job(
     routed = routed.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         # Per-sink counts + input-side partition lineage in one cached pass.
-        counts_rows = sink_counts(routed).collect()
-        counts = {
-            r["route"]: {"n_rows": r["n_rows"], "n_tok_sum": int(r["n_tok_sum"])}
-            for r in counts_rows
-        }
-
         if conditions is None:
+            counts = {
+                r["route"]: {"n_rows": r["n_rows"], "n_tok_sum": int(r["n_tok_sum"])}
+                for r in sink_counts(routed).collect()
+            }
             sink_dfs = {
                 name: routed.filter(F.col("route") == F.lit(name)) for name in sorted(counts)
             }
         else:
+            # Condition-based sinks are NOT route values (a row may land in
+            # several, 'always' takes all) — route-keyed counts would record
+            # 0 for them; count each sink's actual row set over the persisted
+            # plan instead.
             sink_dfs = fan_out(routed, conditions)
+            counts = {}
+            for name, df in sorted(sink_dfs.items()):
+                r = df.agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.coalesce(F.sum("n_tok"), F.lit(0)).alias("n_tok_sum"),
+                ).collect()[0]
+                counts[name] = {"n_rows": r["n_rows"], "n_tok_sum": int(r["n_tok_sum"])}
 
         sinks: dict[str, str] = {}
         for name, df in sink_dfs.items():

@@ -88,7 +88,12 @@ def parse_by_source(
 
     Rows whose source has no configured parser keep an empty fields map and
     ``_parse_ok = false`` (they still flow — routing decides their sink).
+    A pre-existing ``time_col`` is PRESERVED whenever the row's parser emits
+    no timestamp (timestamp-less parser kind, or a failed parse) — a parser
+    only ever overwrites event time with a value it actually extracted.
     """
+    if not parsers:
+        raise ValueError("parse_by_source: parsers dict is empty — configure at least one source")
     src = F.col(content_col)
     empty = F.create_map().cast("map<string,string>")
     base = F.coalesce(F.col(fields_col), empty) if fields_col in df.columns else None
@@ -96,17 +101,22 @@ def parse_by_source(
     maps: list[Column] = [] if base is None else [base]
     ok_expr: Column | None = None
     ts_expr: Column | None = None
+    prev_ts = F.col(time_col) if time_col in df.columns else F.lit(None).cast("timestamp")
     for source_val, spec in parsers.items():
         cond = F.col(source_col) == F.lit(source_val)
         parsed, matched, ts = _branch_fields(spec, src, cond)
         maps.append(parsed)
         ok_expr = F.when(cond, matched) if ok_expr is None else ok_expr.when(cond, matched)
-        branch_ts = F.when(matched, ts) if ts is not None else F.lit(None).cast("timestamp")
+        # fall back to the pre-existing event time, never clobber it with NULL
+        branch_ts = (
+            F.when(matched, F.coalesce(ts, prev_ts)).otherwise(prev_ts)
+            if ts is not None
+            else prev_ts
+        )
         ts_expr = F.when(cond, branch_ts) if ts_expr is None else ts_expr.when(cond, branch_ts)
 
     fields_expr = maps[0] if len(maps) == 1 else F.map_concat(*maps)
     ok_expr = F.coalesce(ok_expr.otherwise(F.lit(False)), F.lit(False))
-    prev_ts = F.col(time_col) if time_col in df.columns else F.lit(None).cast("timestamp")
     ts_expr = ts_expr.otherwise(prev_ts)
     return (
         df.withColumn(fields_col, fields_expr)

@@ -90,8 +90,31 @@ def _unquote(s: str) -> str:
     return s
 
 
-_AS_RE = re.compile(r"\s+as\s+", re.IGNORECASE)
-_BY_RE = re.compile(r"\s+by\s+", re.IGNORECASE)
+def _split_keyword(s: str, kw: str) -> list[str]:
+    """Split ONCE on the first top-level ``kw`` keyword (case-insensitive,
+    whitespace-delimited), respecting single-quoted strings and parens — a
+    quoted pattern containing ``' as '`` (e.g. a regex) must not be split.
+    Returns ``[s]`` when the keyword is absent at top level."""
+    kw_re = re.compile(rf"\s+{re.escape(kw)}\s+", re.IGNORECASE)
+    in_q, depth, i, n = False, 0, 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "'":
+            if in_q and s.startswith("''", i):  # escaped quote
+                i += 2
+                continue
+            in_q = not in_q
+        elif not in_q:
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif depth == 0 and c.isspace():
+                m = kw_re.match(s, i)
+                if m:
+                    return [s[:i], s[m.end():]]
+        i += 1
+    return [s]
 
 
 def compile_spl(df: DataFrame, script: str) -> DataFrame:
@@ -129,8 +152,7 @@ def compile_spl(df: DataFrame, script: str) -> DataFrame:
                 new, _, old = item.partition("=")
                 out = out.withColumnRenamed(old.strip(), new.strip())
         elif verb == "parse-regexp":
-            src_and_rx, _, keys_s = _AS_RE.split(rest, 1)[0], None, None
-            parts = _AS_RE.split(rest, 1)
+            parts = _split_keyword(rest, "as")
             if len(parts) != 2:
                 raise SPLError(f"parse-regexp needs 'as k1, k2': {stage!r}")
             src_rx, keys_s = parts
@@ -142,14 +164,14 @@ def compile_spl(df: DataFrame, script: str) -> DataFrame:
             for i, k in enumerate(keys):
                 out = out.withColumn(k, F.regexp_extract(F.col(field), rx, i + 1))
         elif verb == "parse-json":
-            parts = _AS_RE.split(rest, 1)
+            parts = _split_keyword(rest, "as")
             if len(parts) != 2:
                 raise SPLError(f"parse-json needs 'as k1, k2' (static schema): {stage!r}")
             field = parts[0].strip()
             for k in [k.strip() for k in _split_commas(parts[1])]:
                 out = out.withColumn(k, F.get_json_object(F.col(field), f"$.{k}"))
         elif verb == "parse-csv":
-            parts = _AS_RE.split(rest, 1)
+            parts = _split_keyword(rest, "as")
             if len(parts) != 2:
                 raise SPLError(f"parse-csv needs 'as k1, k2': {stage!r}")
             field = parts[0].strip()
@@ -160,7 +182,7 @@ def compile_spl(df: DataFrame, script: str) -> DataFrame:
         elif verb == "parse-kv":
             # parse-kv field, 'pair_sep', 'kv_sep' as k1, k2  (static key list —
             # a compiled plan needs a fixed schema, like parse-json above)
-            parts = _AS_RE.split(rest, 1)
+            parts = _split_keyword(rest, "as")
             if len(parts) != 2:
                 raise SPLError(f"parse-kv needs 'as k1, k2': {stage!r}")
             items = _split_commas(parts[0])
@@ -191,12 +213,12 @@ def compile_spl(df: DataFrame, script: str) -> DataFrame:
             dest, keys = items[0].strip(), [k.strip() for k in items[1:]]
             out = out.withColumn(dest, F.to_json(F.struct(*[F.col(k).alias(k) for k in keys])))
         elif verb == "stats":
-            parts = _BY_RE.split(rest, 1)
+            parts = _split_keyword(rest, "by")
             aggs_s = parts[0]
             by = [k.strip() for k in _split_commas(parts[1])] if len(parts) == 2 else []
             aggs = []
             for item in _split_commas(aggs_s):
-                sub = _AS_RE.split(item, 1)
+                sub = _split_keyword(item, "as")
                 expr = sub[0].strip()
                 expr = re.sub(r"count\(\s*\)", "count(1)", expr)
                 c = F.expr(expr)

@@ -99,7 +99,12 @@ def write_fanout(
     """
     from concurrent.futures import ThreadPoolExecutor
 
-    routed = routed.persist()
+    # Spark persistence is not ref-counted: if the CALLER already persisted
+    # this plan, persisting+unpersisting here would evict their cache. Only
+    # manage the lifecycle for a plan we cached ourselves.
+    we_persisted = not routed.storageLevel.useMemory and not routed.storageLevel.useDisk
+    if we_persisted:
+        routed = routed.persist()
 
     def _write(sink: str, df: DataFrame) -> tuple[str, str]:
         path = os.path.join(out_dir, sink)
@@ -114,4 +119,5 @@ def write_fanout(
         with ThreadPoolExecutor(max_workers=min(8, max(1, len(sinks)))) as ex:
             return dict(ex.map(lambda kv: _write(*kv), sinks.items()))
     finally:
-        routed.unpersist()
+        if we_persisted:
+            routed.unpersist()

@@ -22,6 +22,7 @@ from __future__ import annotations
 import json
 import os
 import random
+import shutil
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -150,7 +151,10 @@ def write_sequences(
     if os.path.exists(path):
         return path
     tmp = path + ".tmp"
-    os.makedirs(tmp, exist_ok=True)
+    # a crashed prior run leaves part files behind; merging them into this
+    # run's table would corrupt it — start from an empty staging dir
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
     doc_ids, tokens, n_toks, sources = [], [], [], []
     part = 0
 

@@ -129,3 +129,25 @@ def test_run_id_separator_rejected(tmp_path):
     # clean ids still work
     log.record("run1", "sink_a", 1, 2, [])
     assert log.stages("run1") == ["sink_a"]
+
+
+def test_run_job_condition_sinks_record_real_counts(spark, seq_path, tmp_path):
+    """Condition-named sinks are not route values — their checkpoint records
+    and returned counts must reflect the rows actually written, not 0."""
+    from loongcollector_spark.operators.route import SinkCondition
+
+    out = str(tmp_path / "jobc")
+    res = run_job(
+        spark, seq_path, out, run_id="rc",
+        conditions=[SinkCondition(sink="all_events", type="always")],
+    )
+    assert res["counts"]["all_events"]["n_rows"] == 5000
+    assert res["counts"]["all_events"]["n_tok_sum"] > 0
+    log = CheckpointLog(out + "/_checkpoint")
+    assert log.read("rc", "sink_all_events")["n_rows"] == 5000
+    # resume returns the same sink-keyed counts from the committed record
+    res2 = run_job(
+        spark, seq_path, out, run_id="rc",
+        conditions=[SinkCondition(sink="all_events", type="always")],
+    )
+    assert res2["executed"] == [] and res2["counts"]["all_events"]["n_rows"] == 5000

@@ -89,3 +89,13 @@ def test_utf8_strict_contract(spark):
         bad.withColumn("c", decode_tokens_utf8("tokens", strict=True)).collect()
     # the documented non-strict hazard: same row silently decodes to garbage
     assert bad.withColumn("c", decode_tokens_utf8("tokens")).collect()[0].c is not None
+
+
+def test_with_content_rejects_unknown_method(spark):
+    import pytest
+
+    from loongcollector_spark.codec import with_content
+
+    df = spark.createDataFrame([([104, 105],)], "tokens array<int>")
+    with pytest.raises(ValueError, match="unknown method"):
+        with_content(df, method="natiive")

@@ -133,3 +133,54 @@ def test_enriched_pipeline_matches_oracle(spark, seq_df, seq_path):
     # enrichment actually happened on nginx rows
     n_cls = sum(1 for r in got if dict(r["fields"]).get("status_class"))
     assert n_cls > 0
+
+
+def test_route_anchor_full_match_on_alternation(spark):
+    """'json|delimiter' must be a FULL match: 'json2'/'xdelimiter' go to the
+    default sink (bare ^...$ anchoring would bind only the outer branches)."""
+    from loongcollector_spark.operators.route import RouteRule, route_rows
+
+    df = spark.createDataFrame(
+        [("json",), ("delimiter",), ("json2",), ("xdelimiter",)], "source string"
+    )
+    rules = [RouteRule("json|delimiter", "sink_structured")]
+    got = {r.source: r.route for r in route_rows(df, rules).collect()}
+    assert got == {
+        "json": "sink_structured",
+        "delimiter": "sink_structured",
+        "json2": "default",
+        "xdelimiter": "default",
+    }
+
+
+def test_parse_by_source_preserves_upstream_event_time(spark):
+    """A parser that emits no timestamp (or fails) must not clobber a
+    pre-existing event_time with NULL."""
+    from loongcollector_spark.plans.pipeline import ParserSpec, parse_by_source
+
+    df = spark.createDataFrame(
+        [("json", '{"a":"1"}', "2024-05-01 10:00:00"),
+         ("json", "not-json", "2024-05-01 11:00:00"),
+         ("other", "x", "2024-05-01 12:00:00")],
+        "source string, content string, ts_s string",
+    ).withColumn("event_time", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    out = parse_by_source(df, {"json": ParserSpec(kind="json")}).collect()
+    assert all(r.event_time is not None for r in out)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="empty"):
+        parse_by_source(df, {})
+
+
+def test_write_fanout_keeps_caller_cache(spark, tmp_path):
+    from loongcollector_spark.operators.route import SinkCondition
+    from loongcollector_spark.sources.io import write_fanout
+
+    df = spark.createDataFrame([(1, "a", 2)], "id int, route string, n_tok int").persist()
+    try:
+        df.count()
+        write_fanout(df, str(tmp_path / "s"), [SinkCondition(sink="all", type="always")])
+        assert df.storageLevel.useMemory  # caller's cache survives
+    finally:
+        df.unpersist()

@@ -129,3 +129,14 @@ def test_spl_parse_kv_missing_key(spark):
     out = compile_spl(df, "* | parse-kv line, '&', '=' as a, b")
     rows = {r["id"]: (r["a"], r["b"]) for r in out.collect()}
     assert rows[1] == ("1", "2") and rows[2] == ("9", None)
+
+
+def test_spl_parse_regexp_with_quoted_as_in_pattern(spark):
+    """A quoted regex containing ' as ' must not be split at the wrong spot."""
+    from loongcollector_spark.plans.spl import compile_spl
+
+    df = spark.createDataFrame([("logged alice as admin",)], "msg string")
+    out = compile_spl(
+        df, r"* | parse-regexp msg, 'logged (\w+) as (\w+)' as user, role"
+    ).collect()[0]
+    assert out.user == "alice" and out.role == "admin"
