@@ -2719,7 +2719,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sample_stratified": """
             select doc_id, source from documents
-            where ('0x' || substr(md5(cast(doc_id as varchar)), 1, 8))::bigint % 10000
+            where ('0x' || substr(md5('strat:' || cast(doc_id as varchar)), 1, 8))::bigint
+                  % 10000
                   < case when source = 'src0' then 5000
                          when source = 'src1' then 500 else 2000 end
         """,
@@ -2868,7 +2869,8 @@ def oracle_sql() -> dict[str, str]:
                         where kept.doc_id = reps.rep_id)
             select doc_id, lang, source, quality, dup_gram_frac
             from deduped
-            where ('0x' || substr(md5(cast(doc_id as varchar)), 1, 8))::bigint % 10000
+            where ('0x' || substr(md5('strat:' || cast(doc_id as varchar)), 1, 8))::bigint
+                  % 10000
                   < (case when lang = 'en' then 8000 else 5000 end)
         """,
         "spl_full": """
@@ -3218,6 +3220,7 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(oor) as bigint) as n_out_of_range,
                    cast(sum(noeos) as bigint) as n_missing_eos,
                    cast(sum(emp) as bigint) as n_empty,
+                   cast(0 as bigint) as n_null_payload,
                    cast(sum(ntoks) as bigint) as tok_total
             from f group by source
         """,

@@ -412,8 +412,18 @@ def _simhash_native(
         F.length(F.trim(F.col(text_col))) > 0,
         F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
     ).otherwise(F.array().cast("array<string>"))
+    # Cap the vote at the packed counters' 21-bit field capacity: a >2M-token
+    # doc would carry a bit's ones-count into its neighbor's field (silently
+    # wrong signature). The signature of a pathological doc is computed over
+    # its first 2^21-1 tokens — documented approximation, never corruption.
+    toks = F.slice(toks, 1, (1 << 21) - 1)
     ex = df.select(*keep, F.explode_outer(toks).alias("_tok")).withColumn(
-        "_h", token_hash(F.col("_tok"))
+        # null-safe: the explode_outer row of an EMPTY token array must not
+        # vote — xxhash64(null) is the seed (42), whose bits would win every
+        # 2·ones > n=0 vote and yield signature 42 instead of the documented 0
+        # (the md5 family hashes null to null and already skips it).
+        "_h",
+        F.when(F.col("_tok").isNotNull(), token_hash(F.col("_tok"))),
     )
     # Pack 3 bit-counters per long (21-bit fields, good to 2^21-1 ≈ 2M tokens
     # per doc): ⌈nbits/3⌉ sum buffers instead of nbits — 3× less codegen and
@@ -979,7 +989,11 @@ def line_dedup(
     bounded by document size, the right trade at corpus scale vs ANY
     exploded/shuffled form (for pathological million-line docs, explode +
     min(pos) per (id, line) + reassemble is the fallback; same result)."""
-    lines = F.split(F.col(content_col), sep, -1)
+    import re as _re
+
+    # F.split takes a REGEX but array_join emits the literal — escape so a
+    # metachar separator ('.', '|') splits on the same literal it rejoins with
+    lines = F.split(F.col(content_col), _re.escape(sep), -1)
     kept = F.filter(
         lines, lambda x, i: F.array_position(lines, x) == (i + F.lit(1)).cast("bigint")
     )
@@ -1107,8 +1121,14 @@ def incremental_dedup(
         corpus_keys, "dup_key", "left_anti"
     )
     if within_batch:
-        reps = fresh.groupBy("dup_key").agg(F.min(id_col).alias("_rep"))
-        fresh = fresh.join(reps, "dup_key").filter(F.col(id_col) == F.col("_rep")).drop("_rep")
+        # null text ⇒ null dup_key: the equi-join below would silently drop
+        # those rows (null never equi-matches) — route them around the join
+        # untouched; there is nothing to dedup a null payload against.
+        nulls = fresh.filter(F.col("dup_key").isNull())
+        keyed = fresh.filter(F.col("dup_key").isNotNull())
+        reps = keyed.groupBy("dup_key").agg(F.min(id_col).alias("_rep"))
+        keyed = keyed.join(reps, "dup_key").filter(F.col(id_col) == F.col("_rep")).drop("_rep")
+        fresh = keyed.unionByName(nulls)
     return fresh
 
 

@@ -170,13 +170,20 @@ def stratified_sample(
     expression (constant-folded by Catalyst), so this is a scan-side filter —
     at 100 TB it prunes rows before any shuffle ever sees them, and because
     membership is keyed (not positional) the same rows survive at every
-    parallelism and on resume."""
+    parallelism and on resume.
+
+    The hash is DOMAIN-SEPARATED from ``hash_split`` via the ``strat:`` salt:
+    unsalted, sampling at rate r keeps exactly buckets [0, r·B) — the same
+    buckets hash_split assigns to train first, so any sample at r ≤ train
+    share contains ZERO val/test rows (and sampling after splitting empties
+    val/test). Salted, the two bucketings are independent."""
     thr: Column = F.lit(int(round(default_rate * buckets)))
     for stratum, rate in sorted(rates.items()):
         thr = F.when(
             F.col(strata_col) == F.lit(stratum), F.lit(int(round(rate * buckets)))
         ).otherwise(thr)
-    return df.filter(hash_bucket(F.col(key_col), buckets) < thr)
+    salted = F.concat(F.lit("strat:"), F.col(key_col).cast("string"))
+    return df.filter(hash_bucket(salted, buckets) < thr)
 
 
 def length_batching(

@@ -78,6 +78,11 @@ def hll_distinct(
         h.bitwiseAND(F.lit(m - 1)).alias("bucket"),
         rho.alias("rho"),
     ]
+    # null items don't count toward distinct (COUNT DISTINCT semantics) —
+    # unfiltered they'd form a phantom null-bucket register (md5(null)=null),
+    # skewing every group's estimate and, in audit mode, leaving n_exact=0
+    # for an all-null group (division by zero in rel_err under ANSI).
+    df = df.filter(item.isNotNull())
     reg_aggs = [F.max("rho").alias("max_rho")]
     sum_aggs = [
         F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {s} - max_rho)")).alias("z_nonzero"),

@@ -177,14 +177,17 @@ def token_integrity(
     assumes, checked in one pass before a run consumes the table.
 
     Rows per source: ``(source, n_seqs, n_len_mismatch, n_out_of_range,
-    n_missing_eos, n_empty, tok_total)`` where
+    n_missing_eos, n_empty, n_null_payload, tok_total)`` where
       * len mismatch: the declared ``n_tok`` ≠ ``len(tokens)`` (a corrupted
         ingest or a stale re-tokenization);
       * out of range: any token id < 0 or ≥ ``vocab_size`` (wrong tokenizer /
         bit corruption — would index past the embedding table);
       * missing EOS: last token ≠ ``eos_id`` (an untermination that silently
         glues documents together after packing);
-      * empty: zero-length payload.
+      * empty: zero-length payload;
+      * null payload: ``tokens`` itself is NULL — the most corrupted row
+        possible. Counted explicitly: every other flag evaluates NULL for it
+        (``size(NULL)`` is NULL under ANSI) and would silently skip it.
 
     Scale shape: pure codegen projection (array ``exists``/``element_at``)
     into ONE map-side-combined groupBy(source) — no explode (the per-token
@@ -202,17 +205,19 @@ def token_integrity(
             | (F.element_at(toks, -1) != F.lit(eos_id))
         ).cast("int").alias("_noeos"),
         (F.size(toks) == 0).cast("int").alias("_empty"),
+        toks.isNull().cast("int").alias("_nullp"),
         F.size(toks).cast("bigint").alias("_n"),
     )
     return (
         flags.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_seqs"),
-            F.sum("_mis").alias("n_len_mismatch"),
-            F.sum("_oor").alias("n_out_of_range"),
-            F.sum("_noeos").alias("n_missing_eos"),
-            F.sum("_empty").alias("n_empty"),
-            F.sum("_n").alias("tok_total"),
+            F.coalesce(F.sum("_mis"), F.lit(0)).alias("n_len_mismatch"),
+            F.coalesce(F.sum("_oor"), F.lit(0)).alias("n_out_of_range"),
+            F.coalesce(F.sum("_noeos"), F.lit(0)).alias("n_missing_eos"),
+            F.coalesce(F.sum("_empty"), F.lit(0)).alias("n_empty"),
+            F.sum("_nullp").alias("n_null_payload"),
+            F.coalesce(F.sum("_n"), F.lit(0)).alias("tok_total"),
         )
     )
 

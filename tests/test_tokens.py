@@ -87,16 +87,18 @@ def test_token_integrity_counters(spark):
         (4, "a", [1, 2, 3], 3),     # missing EOS
         (5, "b", [], 0),            # empty (also missing EOS)
         (6, "b", [-1, 511], 2),     # negative id out of range
+        (7, "b", None, 5),          # NULL payload — the worst corruption
     ]
     df = spark.createDataFrame(rows, "doc_id int, source string, tokens array<int>, n_tok int")
     out = {r["source"]: r for r in token_integrity(df, vocab_size=512, eos_id=511).collect()}
     a, b = out["a"], out["b"]
     assert a["n_seqs"] == 4 and a["n_len_mismatch"] == 1
     assert a["n_out_of_range"] == 1 and a["n_missing_eos"] == 1 and a["n_empty"] == 0
-    assert a["tok_total"] == 3 + 3 + 3 + 3
-    assert b["n_seqs"] == 2 and b["n_empty"] == 1
+    assert a["tok_total"] == 3 + 3 + 3 + 3 and a["n_null_payload"] == 0
+    assert b["n_seqs"] == 3 and b["n_empty"] == 1
     assert b["n_out_of_range"] == 1 and b["n_missing_eos"] == 1
     assert b["tok_total"] == 2
+    assert b["n_null_payload"] == 1  # flagged, not silently skipped
 
 
 def test_quota_cap_plan_has_two_stage_window(spark):

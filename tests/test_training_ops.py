@@ -1587,3 +1587,17 @@ def test_multi_metric_model(spark):
     mixed = multi_metric_merge(cm.union(gm), {"one": F.lit(1)}).collect()[0]
     assert mixed.values["s"].mtype == COUNTER
     assert mixed.values["s"].value == 60.0  # sums the counter-typed rows only
+
+
+def test_stratified_sample_independent_of_hash_split(spark):
+    """Sampling must be domain-separated from split assignment: a 50% sample
+    keyed on the same id must contain val/test rows, not only train buckets."""
+    from loongcollector_spark.operators.sampling import hash_split, stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "web") for i in range(4000)], "doc_id int, source string"
+    )
+    sample = stratified_sample(df, "doc_id", "source", {"web": 0.5})
+    splits = hash_split(sample, "doc_id")
+    got = {r.split for r in splits.select("split").distinct().collect()}
+    assert "val" in got and "test" in got
