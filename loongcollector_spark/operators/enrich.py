@@ -294,10 +294,19 @@ def string_replace(
 
 
 def base64_field(df: DataFrame, key: str, dest_key: str, decode: bool = False, fields_col: str = "fields") -> DataFrame:
-    """processor_base64_encoding/_decoding."""
+    """processor_base64_encoding/_decoding.
+
+    Decode uses try_to_binary, not unbase64: Spark's unbase64 is lenient and
+    silently decodes invalid input to garbage bytes, while the reference's
+    base64.StdEncoding.DecodeString fails and SKIPS the field
+    (processor_base64_decoding.go:49-57) — try_to_binary's null mirrors that."""
     base = F.col(fields_col)
     cur = base[key]
-    new = F.unbase64(cur).cast("string") if decode else F.base64(cur.cast("binary"))
+    new = (
+        F.try_to_binary(cur, F.lit("base64")).cast("string")
+        if decode
+        else F.base64(cur.cast("binary"))
+    )
     return df.withColumn(fields_col, _set_field(base, dest_key, new, cur.isNotNull()))
 
 

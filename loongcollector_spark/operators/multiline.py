@@ -84,7 +84,11 @@ def split_lines(
     """processor_split_string_native
     (core/plugin/processor/inner/ProcessorSplitLogStringNative.cpp:74-176):
     one event per line, line number preserved for downstream merge/order."""
-    lines = F.split(F.col(content_col), split_char, -1)
+    import re as _re
+
+    # the reference splits on a LITERAL SplitChar; F.split takes a regex —
+    # escape so '.', '|' etc. split on the character, not match-anything
+    lines = F.split(F.col(content_col), _re.escape(split_char), -1)
     exploded = df.withColumn(
         "_ln", F.explode(F.arrays_zip(F.sequence(F.lit(1), F.size(lines)).alias("line_no"), lines.alias("line")))
     )

@@ -393,8 +393,10 @@ def image_resize(df: DataFrame, width: int, height: int) -> DataFrame:
 
 def media_repartition(df: DataFrame, target_bytes: int = 128 << 20) -> DataFrame:
     """Byte-aware repartition: partitions sized by payload BYTES, not rows.
-    Uses the total/target ratio for the partition count and a size-salted key
-    so a few huge payloads can't pile into one task."""
+    Uses the total/target ratio for the partition count with a uniform hash
+    key on media_id — expected bytes per task ≈ target regardless of the
+    (wildly skewed) per-row payload sizes; a single payload larger than the
+    target is an indivisible row and bounds the tail either way."""
     total = df.agg(F.sum(F.length("payload"))).collect()[0][0] or 0
     nparts = max(1, int(total / target_bytes))
     return df.repartition(nparts, F.xxhash64("media_id"))

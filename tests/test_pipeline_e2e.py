@@ -184,3 +184,21 @@ def test_write_fanout_keeps_caller_cache(spark, tmp_path):
         assert df.storageLevel.useMemory  # caller's cache survives
     finally:
         df.unpersist()
+
+
+def test_base64_decode_skips_invalid(spark):
+    """Invalid base64 must leave the dest field unset (the reference's
+    DecodeString-error path skips the content, decoding.go:49-57) — Spark's
+    lenient unbase64 would have written garbage bytes instead."""
+    from loongcollector_spark.operators.enrich import base64_field
+
+    df = spark.createDataFrame(
+        [(1, "aGVsbG8="), (2, "not!!valid@@"), (3, None)], "id int, raw string"
+    ).withColumn("fields", F.create_map(F.lit("b64"), F.col("raw")))
+    out = {
+        r["id"]: r["fields"]
+        for r in base64_field(df, "b64", "decoded", decode=True).collect()
+    }
+    assert out[1]["decoded"] == "hello"
+    assert "decoded" not in out[2]  # invalid input: field skipped, not mojibake
+    assert "decoded" not in out[3]
