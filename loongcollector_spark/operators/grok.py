@@ -147,14 +147,38 @@ class GrokError(ValueError):
 def _neutralize_groups(regex: str) -> str:
     """Turn bare user capture groups ``(`` into non-capturing ``(?:`` so that
     only %{NAME:field} expansions produce numbered captures (the reference
-    keeps named captures only, .go:172-176)."""
+    keeps named captures only, .go:172-176).
+
+    Character-class aware: a ``(`` INSIDE ``[...]`` is a literal — rewriting
+    it would inject ``?`` and ``:`` into the class (URIPATH's class contains
+    ``()``, and ``[...(?:)...]`` wrongly matches ``?``, silently swallowing a
+    URL's query string into the path capture)."""
     out = []
     i = 0
+    in_class = False
     while i < len(regex):
         c = regex[i]
         if c == "\\" and i + 1 < len(regex):
             out.append(regex[i : i + 2])
             i += 2
+            continue
+        if in_class:
+            if c == "]":
+                in_class = False
+            out.append(c)
+            i += 1
+            continue
+        if c == "[":
+            in_class = True
+            out.append(c)
+            i += 1
+            # ']' directly after '[' or '[^' is a literal member, not a close
+            if i < len(regex) and regex[i] == "^":
+                out.append("^")
+                i += 1
+            if i < len(regex) and regex[i] == "]":
+                out.append("]")
+                i += 1
             continue
         if c == "(" and not regex.startswith("(?", i):
             out.append("(?:")

@@ -97,10 +97,20 @@ def _any_value(v: Column) -> Column:
 
 def _attrs_map(attrs: Column) -> Column:
     """KeyValue list → map with SORTED keys (Go json.Marshal sorts map keys;
-    array_sort on (key, value) structs orders by key first)."""
+    array_sort on (key, value) structs orders by key first).
+
+    Duplicate keys (legal in the OTLP list encoding) last-win in ORIGINAL
+    list order — Go's map-insert loop semantics — BEFORE the sort; without
+    the dedup, map_from_entries would THROW on such payloads under the
+    driver's vanilla mapKeyDedupPolicy=EXCEPTION session."""
+    from .parse import _dedup_entries_last_wins
+
     pairs = F.array_sort(
-        F.transform(
-            attrs, lambda kv: F.struct(kv["key"].alias("key"), _any_value(kv["value"]).alias("value"))
+        _dedup_entries_last_wins(
+            F.transform(
+                attrs,
+                lambda kv: F.struct(kv["key"].alias("key"), _any_value(kv["value"]).alias("value")),
+            )
         )
     )
     return F.map_from_entries(pairs)

@@ -83,3 +83,22 @@ def test_otel_metric_keeps_passthrough_columns(spark):
     )
     out = otel_metric_parse(df)
     assert "route" in out.columns and out.filter(F.col("route") == "sink_otel").count() == 3
+
+
+def test_otel_duplicate_attr_keys_last_win(spark):
+    """OTLP attribute lists may carry duplicate keys; the map build must
+    last-win in original list order (Go's map-insert loop), not throw under
+    mapKeyDedupPolicy=EXCEPTION."""
+    from loongcollector_spark.operators.otel import otel_trace_parse
+
+    payload = (
+        '{"resourceSpans":[{"resource":{"attributes":['
+        '{"key":"env","value":{"stringValue":"old"}},'
+        '{"key":"env","value":{"stringValue":"new"}}]},'
+        '"scopeSpans":[{"scope":{"name":"m"},"spans":['
+        '{"traceId":"aa","spanId":"bb","name":"s","kind":1,'
+        '"startTimeUnixNano":"1","endTimeUnixNano":"2"}]}]}]}'
+    )
+    df = spark.createDataFrame([(1, payload)], "doc_id int, content string")
+    row = otel_trace_parse(df).collect()[0]
+    assert row["resource"] == '{"env":"new"}'

@@ -509,3 +509,19 @@ def test_fields_with_condition_relations(spark):
     ]
     out = {r["id"]: r["fields"].get("cls") for r in fields_with_condition(df, cases).collect()}
     assert out == {1: "web", 2: "testing", 3: "misc"}
+
+
+def test_grok_neutralize_is_char_class_aware():
+    """A '(' inside [...] is a literal class member — rewriting it to '(?:'
+    would inject '?' into the class (URIPATH would then swallow a URL's query
+    string into the path capture)."""
+    import re
+
+    from loongcollector_spark.operators.grok import _neutralize_groups, expand
+
+    assert _neutralize_groups(r"a(b)[(]") == r"a(?:b)[(]"
+    assert _neutralize_groups(r"[]()a]") == r"[]()a]"  # first ']' is literal
+    rx, _ = expand("%{URIPATH:p}")
+    assert re.fullmatch(rx, "/a/b") and not re.fullmatch(rx, "/a?b=1")
+    rx_uri, _ = expand("%{URI:u}")
+    assert re.fullmatch(rx_uri, "http://host/a?b=1")
