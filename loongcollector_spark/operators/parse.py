@@ -718,12 +718,25 @@ def json_flatten(
 
         return s.map(one)
 
+    if fields_col in df.columns:
+        # merge_maps, not map_concat: a flattened key that collides with an
+        # existing field must last-win structurally, not throw under the
+        # driver's vanilla mapKeyDedupPolicy=EXCEPTION session. The UDF result
+        # must land in a real column first — Spark rejects Python-UDF
+        # references inside merge_maps' higher-order-function lambdas.
+        tmp = "__json_flat__"
+        out = df.withColumn(tmp, _flatten(F.col(source_col)))
+        ok = F.col(tmp).isNotNull()
+        merged = merge_maps(
+            F.coalesce(F.col(fields_col), _empty_map()),
+            F.coalesce(F.col(tmp), _empty_map()),
+        )
+        return (
+            out.withColumn(fields_col, merged).withColumn(PARSE_OK, ok).drop(tmp)
+        )
     parsed = _flatten(F.col(source_col))
     ok = parsed.isNotNull()
-    m = F.coalesce(parsed, _empty_map())
-    if fields_col in df.columns:
-        m = F.map_concat(F.coalesce(F.col(fields_col), _empty_map()), m)
-    return df.withColumn(fields_col, m).withColumn(PARSE_OK, ok)
+    return df.withColumn(fields_col, F.coalesce(parsed, _empty_map())).withColumn(PARSE_OK, ok)
 
 
 def finalize(df: DataFrame) -> DataFrame:

@@ -525,3 +525,19 @@ def test_grok_neutralize_is_char_class_aware():
     assert re.fullmatch(rx, "/a/b") and not re.fullmatch(rx, "/a?b=1")
     rx_uri, _ = expand("%{URI:u}")
     assert re.fullmatch(rx_uri, "http://host/a?b=1")
+
+
+def test_json_flatten_merges_colliding_fields_last_wins(spark):
+    """A flattened key that collides with an existing field must last-win
+    structurally — bare map_concat threw DUPLICATE_MAP_KEY under the driver's
+    vanilla mapKeyDedupPolicy=EXCEPTION session."""
+    from pyspark.sql import functions as F
+
+    from loongcollector_spark.operators.parse import json_flatten
+
+    df = spark.createDataFrame(
+        [(1, '{"a":{"b":1},"x":"new"}'), (2, "bad json")], "id int, content string"
+    ).withColumn("fields", F.create_map(F.lit("x"), F.lit("old")))
+    out = {r["id"]: r for r in json_flatten(df).collect()}
+    assert out[1]["fields"]["x"] == "new" and out[1]["fields"]["a_b"] == "1"
+    assert dict(out[2]["fields"]) == {"x": "old"} and not out[2]["_parse_ok"]
