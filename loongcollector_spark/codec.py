@@ -124,13 +124,25 @@ def decode_tokens_utf8(tokens: Column | str, strict: bool = False) -> Column:
     )
     out = F.when(F.exists(col, lambda t: t > F.lit(127)), hex_exact).otherwise(ascii_fast)
     if strict:
-        bad = F.filter(col, lambda t: (t < F.lit(0)) | (t > F.lit(255)))
+        # isNull() is explicit: (t < 0) | (t > 255) evaluates to NULL for a
+        # NULL element, which F.filter DROPS — a null token would pass the
+        # strict gate and then vanish silently in array_join, the exact
+        # silent mangling strict mode exists to prevent.
+        bad = F.filter(
+            col, lambda t: t.isNull() | (t < F.lit(0)) | (t > F.lit(255))
+        )
         out = F.when(
             F.size(bad) > 0,
             F.raise_error(
                 F.concat(
                     F.lit("decode_tokens_utf8: token outside the byte contract [0,255]: "),
-                    F.array_join(F.slice(bad, 1, 3).cast("array<string>"), ","),
+                    F.array_join(
+                        F.transform(
+                            F.slice(bad, 1, 3),
+                            lambda t: F.coalesce(t.cast("string"), F.lit("NULL")),
+                        ),
+                        ",",
+                    ),
                 )
             ).cast("string"),
         ).otherwise(out)

@@ -143,6 +143,14 @@ def parse_container_log(
     c = F.col(source_col)
     d = _containerd_cols(c) if fmt == CONTAINERD_TEXT else _docker_json_cols(c)
     keep = [col for col in df.columns if col != source_col]
+    clash = sorted(set(keep) & {"_time_", "_source_", "is_partial", "parse_ok"})
+    if clash:
+        raise ValueError(
+            f"parse_container_log: input column(s) {clash} collide with the "
+            "parser's output columns (_time_, _source_, is_partial, parse_ok) — "
+            "rename or drop them first; a silent duplicate column fails far "
+            "downstream with AMBIGUOUS_REFERENCE"
+        )
     out = df.select(
         *keep,
         F.when(d["ok"], d["time"]).alias("_time_"),

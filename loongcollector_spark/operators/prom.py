@@ -40,6 +40,7 @@ scrape configs use, noted divergence otherwise).
 
 from __future__ import annotations
 
+import re as _re
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame
@@ -118,7 +119,15 @@ def prom_parse(
     has_ts = ts_s != ""
     tnum = ts_s.try_cast("double")
     milli = F.when(tnum < F.lit(float(1 << 31)), tnum * 1000).otherwise(tnum)
-    ts_ok = tnum.isNotNull() & (tnum <= F.lit(float(1 << 63)))
+    # STRICT bounds on the value actually cast: float(2^63) itself (what a
+    # 19-digit decimal rounds to) does NOT fit in a long — an inclusive bound
+    # let that single line overflow the cast (a job-killing error under ANSI)
+    # instead of being dropped per the parser's invalid-line contract.
+    ts_ok = (
+        tnum.isNotNull()
+        & (milli < F.lit(float(1 << 63)))
+        & (milli > F.lit(float(-(1 << 63))))
+    )
     if honor_timestamps:
         ts_ok = ts_ok & (F.floor(milli / 1000) >= 1000000000)
         ts_ms = F.when(has_ts, milli.cast("long")).otherwise(F.lit(default_ts_ms))
@@ -127,6 +136,14 @@ def prom_parse(
 
     ok = is_metric & shape_ok & value.isNotNull() & (~has_ts | ts_ok)
     keep = [col for col in df.columns if col != content_col]
+    clash = sorted(set(keep) & {"name", "labels", "value", "ts_ms"})
+    if clash:
+        raise ValueError(
+            f"prom_parse: input column(s) {clash} collide with the parser's "
+            "output columns (name, labels, value, ts_ms) — rename or drop them "
+            "first; a silent duplicate column fails far downstream with "
+            "AMBIGUOUS_REFERENCE"
+        )
     return (
         df.select(
             *keep,
@@ -156,6 +173,72 @@ class RelabelRule:
     replacement: str = "$1"
     modulus: int = 0
     match_list: tuple[str, ...] = ()
+
+
+def _java_template(template: str, regex: str) -> str:
+    """Translate a Prometheus replacement template into a Java
+    ``Matcher.replaceAll`` replacement that is SAFE for the given pattern.
+
+    Go's ``Regexp.Expand`` (what Prometheus uses) expands a ``$n``/``${name}``
+    reference to the EMPTY STRING when the group doesn't exist, and treats a
+    ``$`` that starts no valid reference literally; Java instead throws
+    ``IndexOutOfBoundsException: No group n`` and parses ``\\``/``$`` as live
+    syntax. Feeding the DEFAULT replacement ``$1`` through with a group-less
+    user regex (a perfectly legal Prometheus config) crashed the query. Here:
+    ``$$`` → literal ``$``; a numeric/named ref is kept (``${n}`` form) only
+    if the compiled pattern actually has that group, else dropped; any other
+    ``$`` or ``\\`` is escaped so it passes through verbatim."""
+    try:
+        compiled = _re.compile(regex)
+    except _re.error:
+        # Pattern not introspectable from Python (e.g. Java-only syntax):
+        # pass the template through untranslated — never regress a config
+        # that worked before this guard existed.
+        return template
+    ngroups, names = compiled.groups, compiled.groupindex
+    out: list[str] = []
+    i = 0
+    # Java has NO brace syntax for numbered refs (${1} is rejected), so a
+    # numeric ref is emitted unbraced ($1) and an immediately following
+    # literal digit is backslash-escaped so Java can't absorb it into the
+    # group number (template "${1}0" must mean group 1 then literal '0').
+    after_numeric_ref = False
+    while i < len(template):
+        ch = template[i]
+        if ch == "$":
+            after_numeric_ref = False
+            if i + 1 < len(template) and template[i + 1] == "$":
+                out.append(r"\$")
+                i += 2
+                continue
+            m = _re.match(r"\{(\w+)\}|(\w+)", template[i + 1 :])
+            if m:
+                name = m.group(1) or m.group(2)
+                if name.isdigit():
+                    if int(name) <= ngroups:
+                        out.append(f"${int(name)}")
+                        after_numeric_ref = True
+                    # else: Go expands a nonexistent group to "" — emit nothing
+                else:
+                    out.append(f"${{{name}}}" if name in names else "")
+                i += 1 + m.end()
+                continue
+            out.append(r"\$")  # lone '$' (end / before non-word): Go keeps it
+            i += 1
+            continue
+        if ch == "\\":
+            out.append("\\\\")
+            i += 1
+            after_numeric_ref = False
+            continue
+        if after_numeric_ref and ch.isdigit():
+            out.append("\\" + ch)
+            i += 1
+            continue
+        out.append(ch)
+        after_numeric_ref = False
+        i += 1
+    return "".join(out)
 
 
 def _src_val(labels: Column, rule: RelabelRule) -> Column:
@@ -188,8 +271,8 @@ def prom_relabel(
             val = _src_val(labels, rule)
             if a == "replace":
                 matched = val.rlike(full)
-                newkey = F.regexp_replace(val, full, rule.target_label)
-                newval = F.regexp_replace(val, full, rule.replacement)
+                newkey = F.regexp_replace(val, full, _java_template(rule.target_label, full))
+                newval = F.regexp_replace(val, full, _java_template(rule.replacement, full))
                 erased = F.map_filter(labels, lambda k, _: k != newkey)
                 rewritten = F.when(newval == "", erased).otherwise(
                     merge_maps(
@@ -219,7 +302,9 @@ def prom_relabel(
                 mapped = F.transform(
                     F.filter(F.map_entries(labels), lambda e: e["key"].rlike(full)),
                     lambda e: F.struct(
-                        F.regexp_replace(e["key"], full, rule.replacement).alias("key"),
+                        F.regexp_replace(
+                            e["key"], full, _java_template(rule.replacement, full)
+                        ).alias("key"),
                         e["value"].alias("value"),
                     ),
                 )

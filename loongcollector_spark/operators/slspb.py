@@ -100,7 +100,13 @@ def _r_varint(buf: bytes, i: int) -> tuple[int, int]:
         i += 1
         n |= (b & 0x7F) << shift
         if not b & 0x80:
-            return n, i
+            # proto2 wire semantics: a varint carries AT MOST 64 bits — the
+            # 10th byte's high bits are dropped (C++ ReadVarint64 keeps the
+            # low 64). Without the mask, a wire-legal 10-byte varint (up to
+            # ~2^70) escaped the per-blob try/except as a Python bigint and
+            # crashed the Arrow int64 conversion instead of the blob being
+            # skipped/truncated.
+            return n & 0xFFFFFFFFFFFFFFFF, i
         shift += 7
         if shift > 63:
             raise ValueError("varint overflow")
@@ -161,12 +167,16 @@ def decode_log_group(buf: bytes) -> dict:
             log = {"time": 0, "time_ns": None, "fields": {}}
             for lno, _lwt, lval in _r_fields(val):
                 if lno == 1:
-                    log["time"] = lval
+                    # Time is uint32 (sls_logs.proto:10): proto2 truncates an
+                    # over-wide varint to the field's low 32 bits.
+                    log["time"] = lval & 0xFFFFFFFF
                 elif lno == 2:
                     k, v = _r_kv(lval)
                     log["fields"][k] = v  # duplicate keys: last wins (map model)
                 elif lno == 4:
-                    log["time_ns"] = lval
+                    # Time_ns is fixed32 (proto:18); mask covers a lenient
+                    # varint-encoded variant too so the value always fits int64.
+                    log["time_ns"] = lval & 0xFFFFFFFF
             group["logs"].append(log)
         elif no in (2, 3, 4, 5):
             key = {2: "category", 3: "topic", 4: "source", 5: "machine_uuid"}[no]

@@ -22,7 +22,7 @@ from pyspark.storagelevel import StorageLevel
 
 from ..checkpoint import ResumableRun, partition_lineage
 from ..operators.aggregate import salted_repartition, sink_counts
-from ..operators.route import RouteRule, SinkCondition, fan_out
+from ..operators.route import RouteRule, SinkCondition, fan_out, sink_predicate
 from ..sources.io import read_sequences
 from .pipeline import ParserSpec, build_pipeline
 
@@ -99,16 +99,31 @@ def run_job(
         else:
             # Condition-based sinks are NOT route values (a row may land in
             # several, 'always' takes all) — route-keyed counts would record
-            # 0 for them; count each sink's actual row set over the persisted
-            # plan instead.
+            # 0 for them. All sinks' counts come from ONE aggregation job over
+            # the persisted plan (a membership flag per condition), not one
+            # sequential count job per sink: N back-to-back full passes cost
+            # ~N straggler tails on a wide cluster — the same serial-stage
+            # cost write_fanout's thread pool exists to avoid.
             sink_dfs = fan_out(routed, conditions)
-            counts = {}
-            for name, df in sorted(sink_dfs.items()):
-                r = df.agg(
-                    F.count(F.lit(1)).alias("n_rows"),
-                    F.coalesce(F.sum("n_tok"), F.lit(0)).alias("n_tok_sum"),
-                ).collect()[0]
-                counts[name] = {"n_rows": r["n_rows"], "n_tok_sum": int(r["n_tok_sum"])}
+            aggs = []
+            for i, c in enumerate(conditions):
+                p = sink_predicate(c, routed.columns)
+                aggs.append(
+                    F.sum(F.when(p, 1).otherwise(0)).alias(f"_r{i}")
+                )
+                aggs.append(
+                    F.sum(
+                        F.when(p, F.coalesce(F.col("n_tok"), F.lit(0))).otherwise(0)
+                    ).alias(f"_t{i}")
+                )
+            row = routed.agg(*aggs).collect()[0]
+            counts = {
+                c.sink: {
+                    "n_rows": int(row[f"_r{i}"] or 0),
+                    "n_tok_sum": int(row[f"_t{i}"] or 0),
+                }
+                for i, c in enumerate(conditions)
+            }
 
         sinks: dict[str, str] = {}
         for name, df in sink_dfs.items():

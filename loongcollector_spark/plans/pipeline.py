@@ -115,7 +115,16 @@ def parse_by_source(
         )
         ts_expr = F.when(cond, branch_ts) if ts_expr is None else ts_expr.when(cond, branch_ts)
 
-    fields_expr = maps[0] if len(maps) == 1 else F.map_concat(*maps)
+    # Per-source parsed maps never collide with EACH OTHER (mutually exclusive
+    # source conditions → at most one is non-empty per row), but any of them CAN
+    # collide with a pre-existing fields key (e.g. an upstream enrich already set
+    # 'status' and the nginx regex extracts it too). merge_maps drops shadowed
+    # base entries structurally (last-wins, LogEvent::SetContent semantics)
+    # instead of letting map_concat throw DUPLICATE_MAP_KEY under the default
+    # mapKeyDedupPolicy=EXCEPTION.
+    parsed_maps = maps if base is None else maps[1:]
+    parsed_expr = parsed_maps[0] if len(parsed_maps) == 1 else F.map_concat(*parsed_maps)
+    fields_expr = parsed_expr if base is None else P.merge_maps(base, parsed_expr)
     ok_expr = F.coalesce(ok_expr.otherwise(F.lit(False)), F.lit(False))
     ts_expr = ts_expr.otherwise(prev_ts)
     return (

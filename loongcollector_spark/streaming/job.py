@@ -420,7 +420,13 @@ def windowed_topk_stream(
         yield  # pragma: no cover — generator protocol
 
     bucketed = (
-        events.withWatermark(time_col, f"{window_sec} seconds")
+        # NULL items are excluded EXPLICITLY (and identically in the batch
+        # twin): pandas value_counts silently drops NaN, so without the
+        # filter the streaming summary ignored null keys while the batch
+        # twin ranked the null group — a one-sided divergence that broke the
+        # documented exact-parity contract on null-keyed corpora.
+        events.filter(F.col(item_col).isNotNull())
+        .withWatermark(time_col, f"{window_sec} seconds")
         .select(
             F.window(F.col(time_col), f"{window_sec} seconds")["start"].alias("_w"),
             F.col(item_col).cast("string").alias("_item"),
@@ -446,11 +452,13 @@ def spacesaving_topk_batch(
 ) -> DataFrame:
     """Batch twin of windowed_topk_stream for parity tests: EXACT per-window
     top-k (count desc, item asc) — equals the streaming SpaceSaving output
-    whenever distinct items per window ≤ capacity."""
+    whenever distinct items per window ≤ capacity. NULL items are excluded,
+    matching the streaming twin's explicit null policy."""
     from pyspark.sql.window import Window as W
 
     counts = (
-        df.select(
+        df.filter(F.col(item_col).isNotNull())
+        .select(
             F.window(F.col(time_col), f"{window_sec} seconds")["start"].alias("window_start"),
             F.col(item_col).cast("string").alias("item"),
         )

@@ -99,3 +99,16 @@ def test_with_content_rejects_unknown_method(spark):
     df = spark.createDataFrame([([104, 105],)], "tokens array<int>")
     with pytest.raises(ValueError, match="unknown method"):
         with_content(df, method="natiive")
+
+
+def test_strict_decode_flags_null_tokens(spark):
+    # (t < 0) | (t > 255) is NULL for a NULL element and F.filter drops it —
+    # without the explicit isNull() check a null token passed the strict gate
+    # and then vanished silently in array_join.
+    import pytest
+    from pyspark.sql import functions as F
+    from loongcollector_spark.codec import decode_tokens_utf8
+
+    df = spark.createDataFrame([([104, None, 105],)], "tokens array<int>")
+    with pytest.raises(Exception, match="byte contract"):
+        df.select(decode_tokens_utf8(F.col("tokens"), strict=True)).collect()

@@ -125,3 +125,15 @@ def test_merge_partials_carries_leading_row_fields(spark):
     out = {r.event_seq: r for r in merge_container_partials(df).collect()}
     assert out[0].content == "abc" and out[0]._time_ == "t1"
     assert out[1].content == "d" and out[1]._time_ == "t4"
+
+
+def test_parse_container_rejects_output_column_clash(spark):
+    import pytest
+    from loongcollector_spark.operators.container import parse_container_log
+
+    df = spark.createDataFrame(
+        [(1, True, "2024-01-01T00:00:00Z stdout F hi")],
+        "id int, is_partial boolean, content string",
+    )
+    with pytest.raises(ValueError, match="collide"):
+        parse_container_log(df)

@@ -202,3 +202,19 @@ def test_base64_decode_skips_invalid(spark):
     assert out[1]["decoded"] == "hello"
     assert "decoded" not in out[2]  # invalid input: field skipped, not mojibake
     assert "decoded" not in out[3]
+
+
+def test_parse_by_source_overwrites_preexisting_field(spark):
+    """A parsed key colliding with a pre-existing fields key must overwrite it
+    (LogEvent::SetContent last-wins), not throw DUPLICATE_MAP_KEY under the
+    default mapKeyDedupPolicy=EXCEPTION."""
+    from loongcollector_spark.plans.pipeline import ParserSpec, parse_by_source
+
+    df = spark.createDataFrame(
+        [("json", '{"status":"200","extra":"e"}', {"status": "old", "host": "h1"})],
+        "source string, content string, fields map<string,string>",
+    )
+    out = parse_by_source(df, {"json": ParserSpec(kind="json")}).collect()
+    assert out[0].fields["status"] == "200"  # parsed wins
+    assert out[0].fields["host"] == "h1"     # untouched upstream key survives
+    assert out[0].fields["extra"] == "e"

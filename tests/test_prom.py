@@ -154,3 +154,50 @@ def test_unescape_preserves_raw_sentinel_byte(spark):
     out = _parse(spark, [line])
     assert out[1].labels["a"] == "x\x01y"
     assert out[1].labels["b"] == "p\\q\x011"
+
+
+def test_relabel_template_translation(spark):
+    # Prometheus expands a reference to a nonexistent group to "" (Go
+    # Regexp.Expand); Java regexp_replace throws. The DEFAULT replacement
+    # "$1" with a group-less regex is a legal config and must not crash.
+    lines = ['m{job="web"} 1']
+    df = prom_parse(spark.createDataFrame(list(enumerate(lines, 1)), "id int, content string"))
+    out = prom_relabel(
+        df,
+        [RelabelRule(action="replace", source_labels=("job",), regex="web",
+                     target_label="tier")],  # replacement defaults to "$1" → ""
+    ).collect()
+    # empty expansion deletes the target label — and nothing crashed
+    assert all("tier" not in r.labels for r in out)
+
+    # ${1} followed by a literal digit: group 1 then literal '0', not group 10
+    out2 = prom_relabel(
+        df,
+        [RelabelRule(action="replace", source_labels=("job",), regex="(w)eb",
+                     target_label="t", replacement="${1}0")],
+    ).collect()
+    assert [r.labels["t"] for r in out2] == ["w0"]
+
+    # $$ is a literal dollar; $9 (no group 9) expands empty
+    out3 = prom_relabel(
+        df,
+        [RelabelRule(action="replace", source_labels=("job",), regex="(.*)",
+                     target_label="t", replacement="$$$1$9!")],
+    ).collect()
+    assert [r.labels["t"] for r in out3] == ["$web!"]
+
+
+def test_parse_ts_long_overflow_dropped(spark):
+    # a 19-digit timestamp that rounds to exactly 2^63 must be DROPPED (the
+    # parser's invalid-line contract), not overflow the long cast (which is a
+    # job-killing error under ANSI mode)
+    out = _parse(spark, ["foo 1 9223372036854775807", "bar 2 1715829785083"])
+    assert len(out) == 1 and out[2].name == "bar"
+
+
+def test_parse_rejects_carry_column_clash(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "x", "foo 1")], "id int, value string, content string")
+    with pytest.raises(ValueError, match="collide"):
+        prom_parse(df)

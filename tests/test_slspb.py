@@ -72,3 +72,23 @@ def test_parse_sls_pb_rejects_colliding_carry_columns(spark):
     )
     with pytest.raises(ValueError, match="collide"):
         parse_sls_pb(df)
+
+
+def test_overwide_varint_truncates_like_proto2():
+    # a wire-legal 10-byte varint can carry ~2^70; proto2 keeps the low 64
+    # bits, and uint32 fields (Log.Time, sls_logs.proto:10) keep the low 32.
+    # Before the mask this escaped the per-blob try/except as a Python bigint
+    # and crashed the Arrow int64 conversion.
+    from loongcollector_spark.operators.slspb import _w_str, decode_log_group
+
+    huge_time = b"\x08" + b"\xff" * 9 + b"\x01"  # field 1 varint, 10 bytes
+    # build a Log message: field 1 = huge varint, field 2 = one content kv
+    kv = _w_str(1, "k") + _w_str(2, "v")
+    log_msg = huge_time + b"\x12" + bytes([len(kv)]) + kv
+    blob = b"\x0a" + bytes([len(log_msg)]) + log_msg + _w_str(2, "cat")
+    g = decode_log_group(blob)
+    assert g["category"] == "cat"
+    assert len(g["logs"]) == 1
+    t = g["logs"][0]["time"]
+    assert 0 <= t <= 0xFFFFFFFF  # truncated into uint32 range, job survives
+    assert g["logs"][0]["fields"] == {"k": "v"}

@@ -318,6 +318,9 @@ def test_windowed_topk_stream_matches_batch(spark, tmp_path):
     rows += [("c", "2024-01-01 10:02:00")]
     rows += [("d", "2024-01-01 10:05:%02d" % i) for i in range(4)]
     rows += [("a", "2024-01-01 10:06:00"), ("a", "2024-01-01 10:06:01")]
+    # NULL items are excluded by BOTH twins (explicit policy): 4 nulls in
+    # window 1 would outrank b if either side counted them one-sidedly
+    rows += [(None, "2024-01-01 10:00:3%d" % i) for i in range(4)]
     # sentinel far in the future advances the watermark past both windows
     rows += [("zz", "2024-01-01 12:00:00")]
     df = spark.createDataFrame(rows, "item string, ts_s string").select(
