@@ -3600,8 +3600,10 @@ def oracle_sql() -> dict[str, str]:
             from fin2
         """,
         "rollup_sources": """
-            select coalesce(cast(source as varchar), '(all)') as source,
-                   coalesce(cast(lang as varchar), '(all)') as lang,
+            select case when grouping(source) = 1 then '(all)'
+                        else coalesce(cast(source as varchar), '(null)') end as source,
+                   case when grouping(lang) = 1 then '(all)'
+                        else coalesce(cast(lang as varchar), '(null)') end as lang,
                    cast(grouping(source, lang) as bigint) as gid,
                    count(*) as n_rows,
                    cast(sum(n_chars) as bigint) as sum_n_chars,

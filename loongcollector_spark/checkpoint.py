@@ -35,10 +35,30 @@ def _validate_run_id(run_id: str) -> str:
     """Catalog filenames are ``<run_id>__<stage>.json``: a run_id containing
     the ``__`` separator would make another run's files list under this run's
     prefix (stages('run1') picking up 'run1__x__stage.json' as stage
-    'x__stage') — and resume could then report sinks of a different run."""
-    if "__" in run_id or "/" in run_id or not run_id:
-        raise ValueError(f"run_id must be non-empty and contain no '__' or '/': {run_id!r}")
+    'x__stage') — and resume could then report sinks of a different run.
+    A TRAILING '_' is rejected for the same reason: run 'a_' + stage 'x'
+    builds the same filename as run 'a' + stage '_x'."""
+    if "__" in run_id or "/" in run_id or not run_id or run_id.endswith("_"):
+        raise ValueError(
+            "run_id must be non-empty, contain no '__' or '/', and not end "
+            f"with '_': {run_id!r}"
+        )
     return run_id
+
+
+def _validate_stage(stage: str) -> str:
+    """Stage names land in the same ``<run_id>__<stage>.json`` filename: a
+    '/' would nest the catalog file under a nonexistent directory AFTER the
+    sink snapshot rename succeeded — the stage would then be committed on
+    disk but unrecorded, and every rerun re-executes and crashes at the same
+    point. '__' and a leading '_' are rejected for the same cross-run
+    collision reasons as run_id."""
+    if "__" in stage or "/" in stage or not stage or stage.startswith("_"):
+        raise ValueError(
+            "stage must be non-empty, contain no '__' or '/', and not start "
+            f"with '_': {stage!r}"
+        )
+    return stage
 
 
 class CheckpointLog:
@@ -50,7 +70,9 @@ class CheckpointLog:
         os.makedirs(root, exist_ok=True)
 
     def _path(self, run_id: str, stage: str) -> str:
-        return os.path.join(self.root, f"{_validate_run_id(run_id)}__{stage}.json")
+        return os.path.join(
+            self.root, f"{_validate_run_id(run_id)}__{_validate_stage(stage)}.json"
+        )
 
     def committed(self, run_id: str, stage: str) -> bool:
         return os.path.exists(self._path(run_id, stage))

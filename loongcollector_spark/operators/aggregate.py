@@ -278,8 +278,19 @@ def rollup_counts(
         aggs.append(F.sum(measure_col).cast("long").alias(f"sum_{measure_col}"))
         aggs.append(F.round(F.avg(measure_col), 6).alias(f"avg_{measure_col}"))
     rolled = src.rollup(*dims).agg(F.grouping_id().alias("gid"), *aggs)
+    # Label a dim `all_label` only when its grouping bit says it was rolled
+    # up — a genuine NULL detail value labeled '(all)' was indistinguishable
+    # from the subtotal row by the dim columns alone (a consumer ignoring gid
+    # double-counts). Genuine NULLs render '(null)'. Bit for dims[i] in
+    # grouping_id is (len(dims)-1-i).
+    def _dim(d: str, i: int) -> Column:
+        rolled_up = F.shiftright(F.col("gid"), len(dims) - 1 - i).bitwiseAND(F.lit(1)) == 1
+        return F.when(rolled_up, F.lit(all_label)).otherwise(
+            F.coalesce(F.col(d).cast("string"), F.lit("(null)"))
+        ).alias(d)
+
     return rolled.select(
-        *[F.coalesce(F.col(d).cast("string"), F.lit(all_label)).alias(d) for d in dims],
+        *[_dim(d, i) for i, d in enumerate(dims)],
         F.col("gid").cast("long").alias("gid"),
         *[c for c in rolled.columns if c not in dims and c != "gid"],
     )

@@ -71,6 +71,12 @@ def asof_join(
     # ASOF JOIN / pandas merge_asof).  The struct itself is never null on a
     # right row (ts is non-null), so ignorenulls only skips left rows.
     carried = [ts_col + suffix] + [c + suffix for c in rcols]
+    # Enforce the non-null-ts assumption the carry relies on: a right row
+    # with NULL ts sorts FIRST under the window's ascending order and its
+    # payload would be carried as the "most recent" match to every left row
+    # before any real right row — and the tolerance filter can't null it out
+    # (timestampdiff(NULL, ts) is NULL, so when(NULL,...) keeps the payload).
+    r = r.filter(F.col(ts_col).isNotNull())
     r = r.select(
         F.col(on),
         F.col(ts_col),

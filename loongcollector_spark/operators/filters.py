@@ -57,6 +57,11 @@ def compile_condition(node: dict, fields_col: str = "fields", df_cols: list[str]
                 out = out | k
             return out
         if op == "not":
+            if len(kids) != 1:
+                raise ValueError(
+                    f"'not' takes exactly one operand, got {len(kids)} — "
+                    "extra operands would be silently discarded"
+                )
             return ~kids[0]
         raise ValueError(f"unknown operator {op!r}")
     val = _field(fields_col, node["key"], df_cols)
@@ -90,13 +95,16 @@ def filter_key_regex(
     exclude: list[str] | None = None,
     fields_col: str = "fields",
 ) -> DataFrame:
-    """Keep row iff every include regex matches SOME key name, none match exclude."""
+    """Keep row iff every include regex matches SOME key name, none match
+    exclude. Each ``exists`` is coalesced to False: on a NULL fields map the
+    bare expression is NULL, and under an exclude-only config ``True & ~NULL``
+    is NULL — the filter then DROPPED a row no exclude regex matched."""
     keys = F.map_keys(F.col(fields_col))
     cond = F.lit(True)
     for r in include or []:
-        cond = cond & F.exists(keys, lambda k: k.rlike(r))
+        cond = cond & F.coalesce(F.exists(keys, lambda k: k.rlike(r)), F.lit(False))
     for r in exclude or []:
-        cond = cond & ~F.exists(keys, lambda k: k.rlike(r))
+        cond = cond & ~F.coalesce(F.exists(keys, lambda k: k.rlike(r)), F.lit(False))
     return df.filter(cond)
 
 
@@ -247,13 +255,15 @@ def fields_with_condition(
             m = merge_maps(m, add)
         return m
 
+    # CASE WHEN is first-match-wins by construction — re-ANDing each branch
+    # with the negation of all prior conditions re-encoded every earlier
+    # predicate into every later branch (O(k²) expression size for zero
+    # semantic effect).
     new_map = None
-    matched_any = F.lit(False)
     for c in cases:
         cond = case_cond(c)
         applied = case_apply(c)
-        new_map = F.when(cond & ~matched_any, applied) if new_map is None else new_map.when(cond & ~matched_any, applied)
-        matched_any = matched_any | cond
+        new_map = F.when(cond, applied) if new_map is None else new_map.when(cond, applied)
     new_map = new_map.otherwise(base) if new_map is not None else base
     out = df.withColumn(fields_col, new_map)
     if drop_if_not_match:

@@ -93,6 +93,13 @@ def fan_out(df: DataFrame, conditions: list[SinkCondition]) -> dict[str, DataFra
     """Router.cpp:50-82 multi-sink duplication: each sink gets the rows its
     condition matches; a row may appear in several sinks. Caller should
     ``df.persist()`` first so the routed plan is computed once."""
+    dup = {c.sink for c in conditions if sum(x.sink == c.sink for x in conditions) > 1}
+    if dup:
+        raise ValueError(
+            f"fan_out: duplicate sink name(s) {sorted(dup)} — each later "
+            "condition would silently REPLACE the earlier one's rows; give "
+            "each condition a distinct sink (or pre-merge the conditions)"
+        )
     out: dict[str, DataFrame] = {}
     for c in conditions:
         sunk = df.filter(sink_predicate(c, df.columns))

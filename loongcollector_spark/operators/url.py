@@ -89,13 +89,28 @@ def url_dedup(
     canon = url_canonicalize(df, url_col).select(
         F.col(id_col), F.col("url_canon")
     )
-    groups = canon.groupBy("url_canon").agg(
+    # NULL URLs canonicalize to NULL, which a null-unsafe equi-join would
+    # silently DROP (breaking the one-row-per-input-row contract). A null URL
+    # is unknown, not identical to other null URLs — each is its own
+    # singleton survivor, routed around the join.
+    nulls = canon.filter(F.col("url_canon").isNull()).select(
+        id_col,
+        "url_canon",
+        F.lit(True).alias("is_kept"),
+        F.lit(1).cast("long").alias("n_dups"),
+    )
+    nn = canon.filter(F.col("url_canon").isNotNull())
+    groups = nn.groupBy("url_canon").agg(
         F.min(id_col).alias("_keep_id"),
         F.count(F.lit(1)).alias("n_dups"),
     )
-    return canon.join(groups, "url_canon").select(
-        id_col,
-        "url_canon",
-        (F.col(id_col) == F.col("_keep_id")).alias("is_kept"),
-        "n_dups",
+    return (
+        nn.join(groups, "url_canon")
+        .select(
+            id_col,
+            "url_canon",
+            (F.col(id_col) == F.col("_keep_id")).alias("is_kept"),
+            "n_dups",
+        )
+        .unionByName(nulls)
     )
