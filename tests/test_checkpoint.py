@@ -151,3 +151,21 @@ def test_run_job_condition_sinks_record_real_counts(spark, seq_path, tmp_path):
         conditions=[SinkCondition(sink="all_events", type="always")],
     )
     assert res2["executed"] == [] and res2["counts"]["all_events"]["n_rows"] == 5000
+
+
+def test_stage_name_validated(tmp_path):
+    """Stage names share the run_id's '<run>__<stage>.json' filename rules:
+    '/' would fail the catalog write AFTER the sink snapshot committed
+    (stage done on disk, unrecorded — rerun loops forever), '__' and a
+    leading '_' collide across runs ('a_' + 'x' == 'a' + '_x')."""
+    import pytest
+    from loongcollector_spark.checkpoint import CheckpointLog
+
+    log = CheckpointLog(str(tmp_path / "_cp"))
+    for bad in ("a/b", "a__b", "_x", ""):
+        with pytest.raises(ValueError):
+            log.record("run1", bad, 0, 0, [])
+    with pytest.raises(ValueError):
+        log.record("run_", "x", 0, 0, [])  # trailing '_' run_id collides
+    log.record("run1", "stage-ok.v2", 1, 2, [])
+    assert log.stages("run1") == ["stage-ok.v2"]

@@ -1601,3 +1601,96 @@ def test_stratified_sample_independent_of_hash_split(spark):
     splits = hash_split(sample, "doc_id")
     got = {r.split for r in splits.select("split").distinct().collect()}
     assert "val" in got and "test" in got
+
+
+# ------------------------------------------------- null-safety sweep (round 5)
+
+
+def test_rollup_counts_null_dim_distinct_from_all(spark):
+    """A genuine NULL detail value renders '(null)' and stays distinguishable
+    from the rolled-up '(all)' subtotal row — only the grouping bit decides."""
+    from loongcollector_spark.operators.aggregate import rollup_counts
+
+    df = spark.createDataFrame(
+        [("a", None, 10), ("a", "en", 20), (None, "en", 30)],
+        "source string, lang string, n_chars int",
+    )
+    rows = {(r["source"], r["lang"], r["gid"]): r
+            for r in rollup_counts(df, ["source", "lang"], measure_col="n_chars").collect()}
+    # leaf rows (gid=0): NULLs render '(null)', never '(all)'
+    assert rows[("a", "(null)", 0)]["n_rows"] == 1
+    assert rows[("(null)", "en", 0)]["n_rows"] == 1
+    # source subtotal rows (gid=1): lang is '(all)' by grouping bit
+    assert rows[("a", "(all)", 1)]["n_rows"] == 2
+    assert rows[("(null)", "(all)", 1)]["n_rows"] == 1
+    # grand total
+    assert rows[("(all)", "(all)", 3)]["n_rows"] == 3
+    # the '(all)' label appears ONLY on rolled-up rows
+    assert all(k[2] != 0 for k in rows if "(all)" in (k[0], k[1]))
+
+
+def test_url_dedup_null_urls_survive_as_singletons(spark):
+    """NULL URLs are unknown, not identical: each input row with a NULL
+    canonical URL comes back as its own kept singleton (one row per input
+    row), instead of being dropped by the null-unsafe equi-join."""
+    from loongcollector_spark.operators.url import url_dedup
+
+    df = spark.createDataFrame(
+        [(1, "a.com/x"), (2, None), (3, None), (4, "a.com/x")],
+        "doc_id long, url string",
+    )
+    out = {r["doc_id"]: r for r in url_dedup(df).collect()}
+    assert len(out) == 4
+    for nid in (2, 3):
+        assert out[nid]["is_kept"] and out[nid]["n_dups"] == 1
+        assert out[nid]["url_canon"] is None
+    assert out[1]["is_kept"] and out[1]["n_dups"] == 2 and not out[4]["is_kept"]
+
+
+def test_asof_join_null_right_ts_never_carries(spark):
+    """A right row with NULL ts must not be carried as the 'most recent'
+    match — before the filter it sorted FIRST ascending and leaked its
+    payload to every left row preceding the first real right row."""
+    from datetime import datetime as dt
+
+    from loongcollector_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, dt(2024, 1, 1, 9, 0, 0), 100)],
+        "event_id int, ts timestamp, user_id int",
+    )
+    right = spark.createDataFrame(
+        [(90, None, 100, 666.0), (91, dt(2024, 1, 1, 10, 0, 0), 100, 1.0)],
+        "event_id int, ts timestamp, user_id int, value double",
+    )
+    row = asof_join(
+        left, right, on="user_id", ts_col="ts",
+        right_cols=["event_id", "value"], suffix="_p",
+        right_order_col="event_id",
+    ).collect()[0]
+    assert row["event_id_p"] is None and row["value_p"] is None
+
+
+def test_filter_key_regex_null_fields_map(spark):
+    """Exclude-only config on a NULL fields map: exists() is NULL, and
+    True & ~NULL is NULL — the row was silently dropped. Coalesced to
+    False, a NULL map matches no exclude regex and the row is KEPT;
+    include regexes conversely cannot match a NULL map."""
+    from loongcollector_spark.operators.filters import filter_key_regex
+
+    df = spark.createDataFrame(
+        [(1, {"k": "v"}), (2, None)],
+        "id int, fields map<string,string>",
+    )
+    kept = {r["id"] for r in filter_key_regex(df, exclude=["^secret$"]).collect()}
+    assert kept == {1, 2}
+    kept = {r["id"] for r in filter_key_regex(df, include=["^k$"]).collect()}
+    assert kept == {1}
+
+
+def test_fan_out_duplicate_sink_rejected(spark):
+    from loongcollector_spark.operators.route import SinkCondition, fan_out
+
+    df = spark.createDataFrame([(1,)], "id int")
+    with pytest.raises(ValueError, match="duplicate sink"):
+        fan_out(df, [SinkCondition(sink="s"), SinkCondition(sink="s")])
