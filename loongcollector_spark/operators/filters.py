@@ -108,6 +108,40 @@ def filter_key_regex(
     return df.filter(cond)
 
 
+def sanitize_utf8_bytes(b: bytes | None) -> str | None:
+    """Pure-Python core of the DiscardingNonUTF8 rewrite
+    (ProcessorFilterNative.cpp:297-376): valid UTF-8 sequences pass through
+    byte-for-byte, every invalid byte becomes exactly ONE space, so the
+    output's UTF-8 byte length always equals the input byte length. Module
+    level (not nested in the UDF) so property tests can drive it directly."""
+    if b is None:
+        return None
+    out = bytearray()
+    i, n = 0, len(b)
+    while i < n:
+        c = b[i]
+        if c < 0x80:
+            out.append(c)
+            i += 1
+            continue
+        # multi-byte lead: 110x->1, 1110x->2, 11110x->3 continuations
+        need = 1 if 0xC2 <= c <= 0xDF else 2 if 0xE0 <= c <= 0xEF else 3 if 0xF0 <= c <= 0xF4 else -1
+        seq = bytes(b[i : i + need + 1]) if need > 0 else b""
+        ok = need > 0 and len(seq) == need + 1
+        if ok:
+            try:
+                seq.decode("utf-8")
+            except UnicodeDecodeError:
+                ok = False
+        if ok:
+            out.extend(seq)
+            i += need + 1
+        else:
+            out.append(0x20)  # ONE space per invalid byte (.cpp:297-376)
+            i += 1
+    return out.decode("utf-8")
+
+
 def sanitize_non_utf8(df: DataFrame, col: str = "content") -> DataFrame:
     """Rewrite invalid UTF-8 bytes to spaces (ProcessorFilterNative.cpp:297-376).
 
@@ -127,35 +161,7 @@ def sanitize_non_utf8(df: DataFrame, col: str = "content") -> DataFrame:
 
     @pandas_udf("string")
     def fix_bytes(s):  # pd.Series -> pd.Series (hints omitted: local import)
-        def sanitize(b):
-            if b is None:
-                return None
-            out = bytearray()
-            i, n = 0, len(b)
-            while i < n:
-                c = b[i]
-                if c < 0x80:
-                    out.append(c)
-                    i += 1
-                    continue
-                # multi-byte lead: 110x->1, 1110x->2, 11110x->3 continuations
-                need = 1 if 0xC2 <= c <= 0xDF else 2 if 0xE0 <= c <= 0xEF else 3 if 0xF0 <= c <= 0xF4 else -1
-                seq = bytes(b[i : i + need + 1]) if need > 0 else b""
-                ok = need > 0 and len(seq) == need + 1
-                if ok:
-                    try:
-                        seq.decode("utf-8")
-                    except UnicodeDecodeError:
-                        ok = False
-                if ok:
-                    out.extend(seq)
-                    i += need + 1
-                else:
-                    out.append(0x20)  # ONE space per invalid byte (.cpp:297-376)
-                    i += 1
-            return out.decode("utf-8")
-
-        return s.map(sanitize)
+        return s.map(sanitize_utf8_bytes)
 
     return df.withColumn(col, fix_bytes(F.col(col)))
 

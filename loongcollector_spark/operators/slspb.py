@@ -145,7 +145,12 @@ def _r_fields(buf: bytes) -> Iterator[tuple[int, int, object]]:
 
 def _r_kv(buf: bytes) -> tuple[str, str]:
     k = v = ""
-    for no, _wt, val in _r_fields(buf):
+    for no, wt, val in _r_fields(buf):
+        # wrong-wire-type fields are unknown fields per proto2 — skip, the
+        # value was already consumed by _r_fields (fuzz-found: a varint-typed
+        # Key crashed int.decode instead of being ignored)
+        if wt != 2:
+            continue
         if no == 1:
             k = val.decode("utf-8")
         elif no == 2:
@@ -162,26 +167,31 @@ def decode_log_group(buf: bytes) -> dict:
         "tags": {},
         "logs": [],
     }
-    for no, _wt, val in _r_fields(buf):
-        if no == 1:
+    for no, wt, val in _r_fields(buf):
+        # A known field carried on the wrong wire type is an UNKNOWN field
+        # per proto2 (skip; _r_fields already consumed the value). Without
+        # the check, a varint-typed Log/Category crashed len()/str.decode on
+        # an int instead of the blob surviving with the field ignored —
+        # fuzz-found by tests/test_property.py.
+        if no == 1 and wt == 2:
             log = {"time": 0, "time_ns": None, "fields": {}}
-            for lno, _lwt, lval in _r_fields(val):
-                if lno == 1:
+            for lno, lwt, lval in _r_fields(val):
+                if lno == 1 and lwt == 0:
                     # Time is uint32 (sls_logs.proto:10): proto2 truncates an
                     # over-wide varint to the field's low 32 bits.
                     log["time"] = lval & 0xFFFFFFFF
-                elif lno == 2:
+                elif lno == 2 and lwt == 2:
                     k, v = _r_kv(lval)
                     log["fields"][k] = v  # duplicate keys: last wins (map model)
-                elif lno == 4:
-                    # Time_ns is fixed32 (proto:18); mask covers a lenient
-                    # varint-encoded variant too so the value always fits int64.
+                elif lno == 4 and lwt in (5, 0):
+                    # Time_ns is fixed32 (proto:18); the varint arm covers a
+                    # lenient encoder; mask keeps the value inside int64.
                     log["time_ns"] = lval & 0xFFFFFFFF
             group["logs"].append(log)
-        elif no in (2, 3, 4, 5):
+        elif no in (2, 3, 4, 5) and wt == 2:
             key = {2: "category", 3: "topic", 4: "source", 5: "machine_uuid"}[no]
             group[key] = val.decode("utf-8")
-        elif no == 6:
+        elif no == 6 and wt == 2:
             k, v = _r_kv(val)
             group["tags"][k] = v
     return group

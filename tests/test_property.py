@@ -1,0 +1,231 @@
+"""Property-based tests (hypothesis) over the pure-Python codec cores.
+
+These are the deterministic, Spark-free kernels whose contracts the oracle
+rows can't fuzz: the SLS protobuf wire codec (operators/slspb.py), the Go
+reference-time layout translator (operators/gotime_layout.py), and the
+DiscardingNonUTF8 byte machine (operators/filters.py). Each test states an
+invariant the rest of the engine silently relies on.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from loongcollector_spark.operators import slspb
+from loongcollector_spark.operators.filters import sanitize_utf8_bytes
+from loongcollector_spark.operators.gotime_layout import (
+    _GO_TOKENS,
+    go_layout_has_weekday,
+    go_layout_to_spark,
+)
+
+# hypothesis profile: bounded examples so the suite stays fast in CI-like runs
+settings.register_profile("suite", max_examples=200, deadline=None)
+settings.load_profile("suite")
+
+
+# ---------------------------------------------------------------------------
+# SLS protobuf wire codec
+# ---------------------------------------------------------------------------
+
+MASK64 = (1 << 64) - 1
+
+
+@given(st.integers(min_value=0, max_value=(1 << 70) - 1))
+def test_varint_roundtrip_truncates_to_64_bits(n):
+    """Wire round-trip: any value the writer emits reads back as its low 64
+    bits (proto2 ReadVarint64 semantics), consuming exactly the bytes
+    written."""
+    buf = slspb._w_varint(n)
+    val, i = slspb._r_varint(buf, 0)
+    assert i == len(buf)
+    assert val == n & MASK64
+    if n <= MASK64:
+        assert val == n
+
+
+@given(st.integers(min_value=0, max_value=MASK64))
+def test_varint_encoding_minimal_and_prefix_free(n):
+    """The writer emits the minimal LEB128 form: <=10 bytes, every byte but
+    the last has the continuation bit, the last never does (prefix-free —
+    the reader can never over- or under-consume)."""
+    buf = slspb._w_varint(n)
+    assert 1 <= len(buf) <= 10
+    assert all(b & 0x80 for b in buf[:-1])
+    assert not buf[-1] & 0x80
+    assert len(buf) == max(1, (n.bit_length() + 6) // 7)
+
+
+_key = st.text(min_size=0, max_size=20)
+_val = st.text(min_size=0, max_size=50)
+_contents = st.lists(st.tuples(_key, _val), max_size=8)
+_u32 = st.integers(min_value=0, max_value=(1 << 32) - 1)
+_opt_str = st.none() | st.text(max_size=30)
+
+
+@given(
+    logs=st.lists(
+        st.tuples(_u32, _contents, st.none() | _u32), min_size=0, max_size=5
+    ),
+    category=_opt_str,
+    topic=_opt_str,
+    source=_opt_str,
+    machine_uuid=_opt_str,
+    tags=st.lists(st.tuples(_key, _val), max_size=5),
+)
+def test_sls_pb_roundtrip(logs, category, topic, source, machine_uuid, tags):
+    """encode → decode is the identity over the full LogGroup field set, with
+    duplicate content/tag keys resolving last-wins (the map model the Spark
+    operator exposes)."""
+    blob = slspb.encode_log_group(
+        [slspb.encode_log(t, c, ns) for t, c, ns in logs],
+        category=category,
+        topic=topic,
+        source=source,
+        machine_uuid=machine_uuid,
+        tags=tags,
+    )
+    g = slspb.decode_log_group(blob)
+    assert g["category"] == category
+    assert g["topic"] == topic
+    assert g["source"] == source
+    assert g["machine_uuid"] == machine_uuid
+    assert g["tags"] == dict(tags)
+    assert len(g["logs"]) == len(logs)
+    for got, (t, c, ns) in zip(g["logs"], logs):
+        assert got["time"] == t
+        assert got["time_ns"] == ns
+        assert got["fields"] == dict(c)
+
+
+@given(st.binary(max_size=200))
+def test_sls_pb_decode_fuzz_never_crashes_unexpectedly(buf):
+    """Arbitrary bytes either decode to a well-formed group dict or raise the
+    two anticipated error classes (truncation/wire-type → ValueError, bad
+    UTF-8 in a string field → UnicodeDecodeError). Anything else — e.g. the
+    pre-fix bigint escaping into Arrow — would crash the executor instead of
+    taking the reference's drop-the-blob path."""
+    try:
+        g = slspb.decode_log_group(buf)
+    except (ValueError, UnicodeDecodeError):
+        return
+    assert set(g) == {"category", "topic", "source", "machine_uuid", "tags", "logs"}
+    for log in g["logs"]:
+        assert 0 <= log["time"] <= (1 << 32) - 1
+        assert log["time_ns"] is None or 0 <= log["time_ns"] <= (1 << 32) - 1
+        assert all(
+            isinstance(k, str) and isinstance(v, str) for k, v in log["fields"].items()
+        )
+
+
+# ---------------------------------------------------------------------------
+# Go layout → Spark pattern translation
+# ---------------------------------------------------------------------------
+
+# every pattern letter the table can emit (plus optional-section brackets)
+_JDK_LETTERS = set("yMEdDHhmsazXxS")
+
+_layouts = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=40
+)
+
+
+def _unquoted_letters(pattern: str) -> set[str]:
+    """Letters of a JDK pattern outside single-quoted literal runs."""
+    out: set[str] = set()
+    in_quote = False
+    i = 0
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch == "'":
+            if in_quote and pattern[i + 1 : i + 2] == "'":
+                i += 2  # escaped quote inside a literal
+                continue
+            in_quote = not in_quote
+        elif not in_quote and ch.isalpha():
+            out.add(ch)
+        i += 1
+    assert not in_quote, f"unbalanced quotes in {pattern!r}"
+    return out
+
+
+@given(_layouts, st.booleans())
+def test_gotime_translation_total_and_jdk_clean(layout, for_parse):
+    """Translation never raises, always balances its literal quotes, and
+    every unquoted letter in the output is a pattern letter we deliberately
+    emit — a bare stray letter would make Spark's formatter throw at run
+    time on fields the config compiler claimed to support."""
+    out = go_layout_to_spark(layout, for_parse=for_parse)
+    assert _unquoted_letters(out) <= _JDK_LETTERS
+
+
+@given(st.data())
+def test_gotime_token_sequences_translate_tokenwise(data):
+    """A layout built purely from table tokens joined by non-token separators
+    translates to exactly the per-token Spark patterns in order (the
+    longest-first scan never mis-splits a token run)."""
+    toks = data.draw(
+        st.lists(st.sampled_from(_GO_TOKENS), min_size=1, max_size=6)
+    )
+    layout = " ".join(go for go, _ in toks)
+    expect = " ".join(spark for _, spark in toks)
+    assert go_layout_to_spark(layout) == expect
+
+
+@given(_layouts)
+def test_gotime_parse_side_only_drops_weekdays(layout):
+    """for_parse=True differs from the format side exactly by dropping E
+    runs — no other token is affected."""
+    fmt = go_layout_to_spark(layout, for_parse=False)
+    parse = go_layout_to_spark(layout, for_parse=True)
+    assert re.sub("E+", "", fmt) == re.sub("E+", "", parse)
+    if not go_layout_has_weekday(layout):
+        assert fmt == parse
+    assert "E" not in _unquoted_letters(parse)
+
+
+# ---------------------------------------------------------------------------
+# DiscardingNonUTF8 byte machine
+# ---------------------------------------------------------------------------
+
+
+@given(st.binary(max_size=300))
+def test_sanitize_preserves_byte_count(b):
+    """The reference rewrites each invalid byte to ONE space and passes valid
+    sequences through byte-for-byte, so the sanitized string's UTF-8 byte
+    length always equals the input byte length (the byte-fidelity contract
+    the BINARY-column path exists for)."""
+    out = sanitize_utf8_bytes(b)
+    assert len(out.encode("utf-8")) == len(b)
+
+
+@given(st.text(max_size=200))
+def test_sanitize_is_identity_on_valid_utf8(s):
+    assert sanitize_utf8_bytes(s.encode("utf-8")) == s
+
+
+@given(st.binary(max_size=300))
+def test_sanitize_idempotent(b):
+    """Sanitizing already-sanitized bytes changes nothing."""
+    once = sanitize_utf8_bytes(b)
+    assert sanitize_utf8_bytes(once.encode("utf-8")) == once
+
+
+@given(st.binary(max_size=300))
+def test_sanitize_matches_python_decoder_judgment(b):
+    """Differential: a byte survives iff Python's strict decoder accepts the
+    same window — positions Python replaces are a subset of positions we
+    blank, and outputs agree exactly on inputs where Python's maximal-subpart
+    policy also burns one char per byte (ASCII-noise inputs)."""
+    out = sanitize_utf8_bytes(b)
+    # the sanitizer never emits U+FFFD itself unless the input spelled it
+    assert out.count("�") == b.count(b"\xef\xbf\xbd")
+    if all(x < 0x80 for x in b):
+        assert out == b.decode("ascii")
