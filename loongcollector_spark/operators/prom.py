@@ -206,10 +206,10 @@ def _java_template(template: str, regex: str) -> str:
     while i < len(template):
         ch = template[i]
         if ch == "$":
-            after_numeric_ref = False
             if i + 1 < len(template) and template[i + 1] == "$":
                 out.append(r"\$")
                 i += 2
+                after_numeric_ref = False
                 continue
             m = _re.match(r"\{(\w+)\}|(\w+)", template[i + 1 :])
             if m:
@@ -218,13 +218,23 @@ def _java_template(template: str, regex: str) -> str:
                     if int(name) <= ngroups:
                         out.append(f"${int(name)}")
                         after_numeric_ref = True
-                    # else: Go expands a nonexistent group to "" — emit nothing
+                    # else: Go expands a nonexistent group to "" — emit
+                    # NOTHING, and the flag must SURVIVE the drop: the last
+                    # emitted content still ends with a numeric ref, so a
+                    # literal digit following the dropped ref would otherwise
+                    # sit adjacent to it and Java could absorb it into the
+                    # group number ("$1${99}2" with >=12 groups → "$12",
+                    # the wrong group — fuzz-found).
                 else:
-                    out.append(f"${{{name}}}" if name in names else "")
+                    if name in names:
+                        out.append(f"${{{name}}}")
+                        after_numeric_ref = False
+                    # else: dropped — flag survives, same reason as above
                 i += 1 + m.end()
                 continue
             out.append(r"\$")  # lone '$' (end / before non-word): Go keeps it
             i += 1
+            after_numeric_ref = False
             continue
         if ch == "\\":
             out.append("\\\\")

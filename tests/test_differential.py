@@ -33,6 +33,7 @@ from loongcollector_spark.codec import (
     decode_tokens_utf8,
 )
 from loongcollector_spark.operators.filters import compile_condition
+from loongcollector_spark.operators.prom import _java_template
 
 # ---------------------------------------------------------------------------
 # condition-tree differential
@@ -201,4 +202,93 @@ def test_all_decode_paths_exact_on_valid_utf8(decode_fixture):
                 bad.append((r["id"], path, r[path], r["want"]))
         if r["is_ascii"] and r["c_native"] != r["want"]:
             bad.append((r["id"], "c_native", r["c_native"], r["want"]))
+    assert not bad, bad[:5]
+
+
+# ---------------------------------------------------------------------------
+# Prometheus replacement-template differential (Go Expand vs translated Java)
+# ---------------------------------------------------------------------------
+
+
+def _go_expand(m: re.Match, template: str) -> str:
+    """Reference emulator of Go's Regexp.Expand over numeric references
+    (regexp/regexp.go Expand doc): $$ → '$'; $name takes the LONGEST run of
+    word chars ($1x is the name '1x', not group 1 + 'x'); out-of-range /
+    unknown / unmatched refs expand to ''; a '$' starting no reference is
+    literal."""
+    out: list[str] = []
+    i = 0
+    while i < len(template):
+        c = template[i]
+        if c == "$":
+            if template[i + 1 : i + 2] == "$":
+                out.append("$")
+                i += 2
+                continue
+            mm = re.match(r"\{(\w+)\}|(\w+)", template[i + 1 :])
+            if mm:
+                name = mm.group(1) or mm.group(2)
+                if name.isdigit() and int(name) <= m.re.groups:
+                    out.append(m.group(int(name)) or "")
+                # non-numeric / out-of-range: Go expands to ""
+                i += 1 + mm.end()
+                continue
+            out.append("$")
+            i += 1
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+_PROM_CASES = [
+    ("(a+)(b*)", ["aab", "a", "aabbb"]),
+    ("([0-9]+)-([0-9]+)", ["12-34", "0-9"]),
+    ("(x)|(y)", ["x", "y"]),  # one side always unmatched → "" per Go AND Java
+    ("(?:no)(cap)", ["nocap"]),
+    ("(a(b)c)", ["abc"]),
+    ("a+", ["aaa"]),  # zero groups with the default '$1' template shape
+]
+
+_PROM_TEMPLATES = [
+    "$1",
+    "$2",
+    "$1-$2",
+    "$0",
+    "${1}0",
+    "$1x",
+    "$$lit",
+    "$",
+    "a$",
+    "pre-${2}-post",
+    "$9",
+    "$1${9}2",  # dropped ref between a live ref and a literal digit
+    "${name}",
+    "\\raw",
+]
+
+
+def test_prom_template_replacement_matches_go_expand(spark):
+    """Every (anchored regex, fully-matching input, template) combination:
+    Spark's regexp_replace with the TRANSLATED template must produce exactly
+    what Go's Expand produces — one job over the whole cross product, the
+    same call shape prom_relabel's replace action uses."""
+    rows = []
+    for regex, inputs in _PROM_CASES:
+        full = f"^(?:{regex})$"
+        creg = re.compile(full)
+        for s in inputs:
+            m = creg.search(s)
+            assert m is not None, (regex, s)
+            for t in _PROM_TEMPLATES:
+                rows.append((s, full, _java_template(t, full), _go_expand(m, t)))
+    df = spark.createDataFrame(rows, "input string, pattern string, repl string, want string")
+    got = df.select(
+        "input",
+        "pattern",
+        "repl",
+        "want",
+        F.regexp_replace(F.col("input"), F.col("pattern"), F.col("repl")).alias("have"),
+    ).collect()
+    bad = [(r["input"], r["pattern"], r["repl"], r["have"], r["want"]) for r in got if r["have"] != r["want"]]
     assert not bad, bad[:5]
