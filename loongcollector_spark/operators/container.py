@@ -27,10 +27,19 @@ Reference semantics preserved:
   those names and string values); stream validated as stdout/stderr; ONE
   trailing ``\\n`` of the log value is stripped (`.cpp:516-519`). JSON escape
   decoding is delegated to ``from_json`` — standard escapes incl. ``\\uXXXX``
-  agree with the reference's parseValue; the reference additionally passes
-  INVALID escape pairs through verbatim where strict JSON (and from_json)
-  rejects the line, a divergence only reachable on non-docker-produced input
-  (docker's Go json.Marshal never emits invalid escapes).
+  agree with the reference's parseValue; the outer shape check
+  (``buffer[0]=='{' && buffer[size-1]=='}'``, `.cpp:362-364`) is replicated
+  exactly, so leading whitespace / trailing bytes fail here too. Remaining
+  acceptance-region divergences, all unreachable on docker-produced lines
+  (Go json.Marshal emits exactly one object with the three keys, escapes only
+  inside the log string): the reference passes INVALID escape pairs through
+  verbatim and REJECTS valid escapes in stream/time values
+  (parseValue `.cpp:305-308` fails on ``\\`` unless logType==Log) where
+  from_json decodes both; the reference tolerates the three pairs with
+  duplicate/missing names (a missing time parses with time="") where the
+  exact-key-set check here fails; and a crafted ``{…} …}`` line whose tail
+  still ends in ``}`` passes from_json's leading-object parse but fails the
+  reference's idx==size-1 check.
 * **failure policy**: ``keeping_source=True`` (reference default
   KeepingSourceWhenParseFail) keeps the row with the RAW line as content and
   null ``_time_``/``_source_``; False drops it. ``ignoring_stdout`` /
@@ -92,6 +101,12 @@ def _docker_json_cols(c: Column) -> dict[str, Column]:
     map<string,string>; the exact-key-set check mirrors the reference's
     requirement of exactly the log/stream/time pairs."""
     m = F.from_json(c, "map<string,string>")
+    # the reference's OUTER shape check (`buffer[0]=='{' && buffer[size-1]=='}'`,
+    # .cpp:362-364): leading whitespace or trailing bytes after the object fail
+    # the line — from_json alone is laxer on both (skips leading ws, ignores a
+    # trailing tail), caught by the seeded differential in
+    # tests/test_differential_container.py
+    shape_ok = c.startswith("{") & c.endswith("}")
     keys_ok = m.isNotNull() & (
         F.array_sort(F.map_keys(m)) == F.array(F.lit("log"), F.lit("stream"), F.lit("time"))
     )
@@ -107,7 +122,8 @@ def _docker_json_cols(c: Column) -> dict[str, Column]:
     stream_v = F.try_element_at(m, F.lit("stream"))
     time_v = F.try_element_at(m, F.lit("time"))
     ok = (
-        keys_ok
+        shape_ok
+        & keys_ok
         & quoted_ok
         & stream_v.isin("stdout", "stderr")
         & log_v.isNotNull()
