@@ -487,8 +487,13 @@ def log_to_metric(
     ).drop("__metrics__")
     out = out.withColumn("__labels__", labels)
     if time_key:
-        # try_cast: a non-numeric time field must yield null, not an ANSI error
-        out = out.withColumn("__time_nano__", (base[time_key].try_cast("double") * 1e9).cast("long"))
+        # try_cast both ends: a non-numeric time field must yield null, not an
+        # ANSI error — and so must an overflowing one ('1e300' parses as a
+        # double, ×1e9 → Infinity, and plain cast(long) of Infinity throws
+        # CAST_OVERFLOW under ANSI)
+        out = out.withColumn(
+            "__time_nano__", (base[time_key].try_cast("double") * 1e9).try_cast("long")
+        )
     # strict metric-name validation (logtoslsmetric .go:32-56); the VALUE check
     # mirrors Go's strconv.ParseFloat (.go:172) via try_cast — scientific
     # notation ("1e3") passes, unlike the plain-decimal regex it replaces

@@ -51,7 +51,7 @@ def to_multi_metric(
     entries = [
         F.struct(
             F.lit(name).alias("key"),
-            F.struct(F.lit(COUNTER).alias("mtype"), col.cast("double").alias("value")).alias(
+            F.struct(F.lit(COUNTER).alias("mtype"), col.try_cast("double").alias("value")).alias(
                 "value"
             ),
         )
@@ -59,7 +59,7 @@ def to_multi_metric(
     ] + [
         F.struct(
             F.lit(name).alias("key"),
-            F.struct(F.lit(GAUGE).alias("mtype"), col.cast("double").alias("value")).alias(
+            F.struct(F.lit(GAUGE).alias("mtype"), col.try_cast("double").alias("value")).alias(
                 "value"
             ),
         )

@@ -167,8 +167,12 @@ def otel_trace_parse(
         F.explode("_ss.spans").alias("_sp"),
     )
     sp = F.col("_sp")
-    start_ns = F.coalesce(sp["startTimeUnixNano"].cast("long"), F.lit(0))
-    end_ns = F.coalesce(sp["endTimeUnixNano"].cast("long"), F.lit(0))
+    # try_cast throughout the nano fields: OTLP-JSON carries uint64 nanos as
+    # strings — a value above 2^63-1 (wire-legal) or corrupt text under
+    # Spark 4's ANSI default would throw CAST_INVALID_INPUT and kill the job
+    # for one bad span; the reference's JSON decoder skips such values.
+    start_ns = F.coalesce(sp["startTimeUnixNano"].try_cast("long"), F.lit(0))
+    end_ns = F.coalesce(sp["endTimeUnixNano"].try_cast("long"), F.lit(0))
     kind = F.col("_sp.kind")
     kind_str = F.lit("")
     for k, v in _KIND.items():
@@ -194,7 +198,7 @@ def otel_trace_parse(
                 lambda e: F.struct(
                     _attrs_map(e["attributes"]).alias("attribute"),
                     F.coalesce(e["name"], F.lit("")).alias("name"),
-                    F.coalesce(e["timeUnixNano"].cast("long"), F.lit(0)).alias("time"),
+                    F.coalesce(e["timeUnixNano"].try_cast("long"), F.lit(0)).alias("time"),
                 ),
             )
         ),
@@ -333,11 +337,11 @@ def otel_metric_parse(df: DataFrame, source_key: str = "content") -> DataFrame:
             F.coalesce(F.col("_m.gauge.dataPoints"), F.col("_m.sum.dataPoints"))
         ).alias("_dp"),
     )
-    val = F.coalesce(F.col("_dp.asDouble"), F.col("_dp.asInt").cast("double"))
+    val = F.coalesce(F.col("_dp.asDouble"), F.col("_dp.asInt").try_cast("double"))
     return dp.select(
         *keep,
         "__name__",
         _labels_str(F.col("_rattrs"), F.col("_dp.attributes")).alias("__labels__"),
-        F.coalesce(F.col("_dp.timeUnixNano").cast("long"), F.lit(0)).alias("__time_nano__"),
+        F.coalesce(F.col("_dp.timeUnixNano").try_cast("long"), F.lit(0)).alias("__time_nano__"),
         val.alias("__value__"),
     )

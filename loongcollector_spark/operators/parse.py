@@ -403,6 +403,12 @@ def parse_delimiter(
 # apsara (processor_parse_apsara_native)
 # ---------------------------------------------------------------------------
 
+# largest epoch-seconds treated as a valid apsara time: 9999-12-31T23:59:59Z.
+# Keeps from_unixtime→to_timestamp round-trips in 4-digit-year territory and
+# the ×1,000,000 microtime multiply far inside long range; anything larger is
+# a malformed time (null ts), mirroring the reference's Strptime-fail path.
+_EPOCH_MAX_S = 253402300799
+
 def apsara_fields(
     src: Column,
     opts: ParserOptions = ParserOptions(),
@@ -435,7 +441,15 @@ def apsara_fields(
     time_str0 = F.regexp_extract(F.element_at(parts0, 1), _TIME_RX, 1)
     matched = time_str0.isNotNull() & (time_str0 != F.lit(""))
     is_epoch0 = time_str0.rlike(r"^\d+$")
-    ts = F.when(is_epoch0, F.to_timestamp(F.from_unixtime(time_str0.cast("long")))).otherwise(
+    # try_cast + year-9999 bound: an oversized digit run (e.g. 20 digits) must
+    # yield a NULL time, not kill the job — `.cast("long")` under Spark 4's
+    # ANSI default threw CAST_INVALID_INPUT on one crafted line, and a
+    # 13+-digit value that fits a long still overflowed the ×1e6 microtime
+    # multiply. The reference's strtol-style Strptime("%s") fails such lines
+    # to time 0 (ApsaraEasyReadLogTimeParser); null-ts is our analog.
+    e0 = time_str0.try_cast("long")
+    e0_ok = e0.isNotNull() & (e0 <= F.lit(_EPOCH_MAX_S))
+    ts = F.when(is_epoch0, F.when(e0_ok, F.to_timestamp(F.from_unixtime(e0)))).otherwise(
         F.try_to_timestamp(time_str0)  # null (not ANSI error) on malformed
     )
 
@@ -464,10 +478,12 @@ def apsara_fields(
                 F.map_from_entries(_dedup_entries_last_wins(kv_entries)), _empty_map()
             )
             is_e = tstr.rlike(r"^\d+$")
-            ts_i = F.when(is_e, F.to_timestamp(F.from_unixtime(tstr.cast("long")))).otherwise(
+            el = tstr.try_cast("long")  # same ANSI guard as the ts return above
+            el_ok = el.isNotNull() & (el <= F.lit(_EPOCH_MAX_S))
+            ts_i = F.when(is_e, F.when(el_ok, F.to_timestamp(F.from_unixtime(el)))).otherwise(
                 F.try_to_timestamp(tstr)
             )
-            micro = F.when(is_e, (tstr.cast("long") * F.lit(1000000)).cast("string")).otherwise(
+            micro = F.when(is_e, F.when(el_ok, (el * F.lit(1000000)).cast("string"))).otherwise(
                 F.unix_micros(ts_i).cast("string")
             )
             # All bracketed blocks re-joined; each classifier is ONE JVM regex
