@@ -404,9 +404,9 @@ def parse_delimiter(
 # ---------------------------------------------------------------------------
 
 # largest epoch-seconds treated as a valid apsara time: 9999-12-31T23:59:59Z.
-# Keeps from_unixtime→to_timestamp round-trips in 4-digit-year territory and
-# the ×1,000,000 microtime multiply far inside long range; anything larger is
-# a malformed time (null ts), mirroring the reference's Strptime-fail path.
+# Keeps the ×1,000,000 microtime multiply far inside long range (and the year
+# sane); anything larger is a malformed time (null ts), mirroring the
+# reference's Strptime-fail path.
 _EPOCH_MAX_S = 253402300799
 
 def apsara_fields(
@@ -447,9 +447,13 @@ def apsara_fields(
     # 13+-digit value that fits a long still overflowed the ×1e6 microtime
     # multiply. The reference's strtol-style Strptime("%s") fails such lines
     # to time 0 (ApsaraEasyReadLogTimeParser); null-ts is our analog.
+    # timestamp_seconds, NOT to_timestamp(from_unixtime(e)): the string round
+    # trip resolves fall-back-DST local times to the wrong instant in
+    # non-UTC session timezones (this is a library API — callers outside
+    # get_spark's pinned-UTC session exist) and costs a per-row format+parse.
     e0 = time_str0.try_cast("long")
     e0_ok = e0.isNotNull() & (e0 <= F.lit(_EPOCH_MAX_S))
-    ts = F.when(is_epoch0, F.when(e0_ok, F.to_timestamp(F.from_unixtime(e0)))).otherwise(
+    ts = F.when(is_epoch0, F.when(e0_ok, F.timestamp_seconds(e0))).otherwise(
         F.try_to_timestamp(time_str0)  # null (not ANSI error) on malformed
     )
 
@@ -478,14 +482,21 @@ def apsara_fields(
                 F.map_from_entries(_dedup_entries_last_wins(kv_entries)), _empty_map()
             )
             is_e = tstr.rlike(r"^\d+$")
-            el = tstr.try_cast("long")  # same ANSI guard as the ts return above
-            el_ok = el.isNotNull() & (el <= F.lit(_EPOCH_MAX_S))
-            ts_i = F.when(is_e, F.when(el_ok, F.to_timestamp(F.from_unixtime(el)))).otherwise(
-                F.try_to_timestamp(tstr)
-            )
-            micro = F.when(is_e, F.when(el_ok, (el * F.lit(1000000)).cast("string"))).otherwise(
-                F.unix_micros(ts_i).cast("string")
-            )
+
+            # same ANSI guard + timestamp_seconds as the ts return above; the
+            # epoch long is _let-bound (module convention: no CSE inside
+            # interpreted HOF lambdas, so a naked try_cast would re-parse the
+            # string once per reference)
+            def with_el(el: Column) -> Column:
+                el_ok = el.isNotNull() & (el <= F.lit(_EPOCH_MAX_S))
+                ts_i = F.when(is_e, F.when(el_ok, F.timestamp_seconds(el))).otherwise(
+                    F.try_to_timestamp(tstr)
+                )
+                return F.when(
+                    is_e, F.when(el_ok, (el * F.lit(1000000)).cast("string"))
+                ).otherwise(F.unix_micros(ts_i).cast("string"))
+
+            micro = _let(tstr.try_cast("long"), with_el)
             # All bracketed blocks re-joined; each classifier is ONE JVM regex
             # pass over that string (first match == first-matching-block rule)
             brs = F.array_join(F.filter(rest, _is_br), "\t")

@@ -62,12 +62,10 @@ def test_otlp_trace_uint64_nanos_degrade_to_zero(spark):
     rows = otel_trace_parse(df).collect()  # must not raise
     assert len(rows) == 1
     r = rows[0].asDict()
-    nano_cols = [c for c in r if "start" in c.lower() or "end" in c.lower()
-                 or "duration" in c.lower()]
-    assert nano_cols, r.keys()
-    for c in nano_cols:
-        if isinstance(r[c], int):
-            assert r[c] == 0, (c, r[c])
+    # unconditional: the coalesce(..., 0) contract must hold — a regression to
+    # NULL would slip through an isinstance-gated check
+    for c in ("start", "end", "duration"):
+        assert r[c] == 0, (c, r[c])
 
 
 def test_multi_metric_non_numeric_value_is_null_not_error(spark):

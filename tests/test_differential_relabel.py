@@ -26,37 +26,15 @@ from loongcollector_spark.operators.prom import RelabelRule, prom_relabel
 SEED = 20260821
 
 
-# ---------------------------------------------------------------------------
-# Go Regexp.Expand emulator (template, match) → expansion
-# ---------------------------------------------------------------------------
+# Go Regexp.Expand emulation: reuse the canonical reference emulator from
+# test_differential.py (argument order there is (match, template)) — two
+# drifting copies of the same Go semantics would let a fix to one miss the
+# other.
+from test_differential import _go_expand as _go_expand_canonical  # noqa: E402
+
 
 def _go_expand(template: str, match: re.Match) -> str:
-    out, i = [], 0
-    while i < len(template):
-        ch = template[i]
-        if ch == "$":
-            if i + 1 < len(template) and template[i + 1] == "$":
-                out.append("$")
-                i += 2
-                continue
-            m = re.match(r"\{(\w+)\}|(\w+)", template[i + 1 :])
-            if m:
-                name = m.group(1) or m.group(2)
-                if name.isdigit():
-                    gi = int(name)
-                    out.append((match.group(gi) or "") if gi <= match.re.groups else "")
-                else:
-                    out.append(
-                        (match.group(name) or "") if name in match.re.groupindex else ""
-                    )
-                i += 1 + m.end()
-                continue
-            out.append("$")
-            i += 1
-            continue
-        out.append(ch)
-        i += 1
-    return "".join(out)
+    return _go_expand_canonical(match, template)
 
 
 # ---------------------------------------------------------------------------
