@@ -219,7 +219,10 @@ def desensitize_const(
     def first_only(cur):
         # Replace only the FIRST occurrence (Replace vs GlobalReplace,
         # ProcessorDesensitizeNative.cpp:202-207): stitch around the first match.
-        pos = F.regexp_instr(cur, regex)  # 1-based start, 0 if no match
+        # regexp_instr's pattern parameter is a COLUMN (unlike regexp_extract/
+        # regexp_replace, which accept str) — a bare str is resolved as a
+        # column NAME and fails analysis (found by the redaction differential)
+        pos = F.regexp_instr(cur, F.lit(regex))  # 1-based start, 0 if no match
         hit = F.regexp_extract(cur, regex, 0)
         stitched = F.concat(
             F.substr(cur, F.lit(1), pos - F.lit(1)),
