@@ -296,20 +296,36 @@ def string_replace(
     return df.withColumn(fields_col, _set_field(base, dk, new, cur.isNotNull()))
 
 
+# Go base64.StdEncoding shape: 4-char groups, exact '='/'==' tail padding.
+# (\r/\n are stripped BEFORE this check — Go's decoder ignores them too.)
+_B64_STRICT = r"(?:[A-Za-z0-9+/]{4})*(?:[A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=)?"
+
+
 def base64_field(df: DataFrame, key: str, dest_key: str, decode: bool = False, fields_col: str = "fields") -> DataFrame:
     """processor_base64_encoding/_decoding.
 
-    Decode uses try_to_binary, not unbase64: Spark's unbase64 is lenient and
-    silently decodes invalid input to garbage bytes, while the reference's
-    base64.StdEncoding.DecodeString fails and SKIPS the field
-    (processor_base64_decoding.go:49-57) — try_to_binary's null mirrors that."""
+    Encode strips the CRLF chunking Spark's ``base64`` inserts every 76 chars
+    (MIME line wrap — probed on this build for any payload >57 bytes); Go's
+    ``EncodeToString`` never wraps, and a wrapped value would corrupt any
+    downstream consumer of the field.
+
+    Decode mirrors ``base64.StdEncoding.DecodeString``'s fail-and-SKIP path
+    (processor_base64_decoding.go:49-57) exactly: ``\\r``/``\\n`` are ignored
+    like Go's decoder, then a strict shape gate (4-char groups, exact
+    padding) rejects what StdEncoding rejects BEFORE ``try_to_binary`` —
+    Spark's own base64 parser is MIME-lenient (skips ALL whitespace, accepts
+    missing padding; probed) and ``unbase64`` is worse (decodes invalid
+    input to garbage bytes)."""
     base = F.col(fields_col)
     cur = base[key]
-    new = (
-        F.try_to_binary(cur, F.lit("base64")).cast("string")
-        if decode
-        else F.base64(cur.cast("binary"))
-    )
+    if decode:
+        cleaned = F.regexp_replace(cur, "[\r\n]", "")
+        new = F.when(
+            cleaned.rlike(f"^{_B64_STRICT}$"),
+            F.try_to_binary(cleaned, F.lit("base64")).cast("string"),
+        )
+    else:
+        new = F.regexp_replace(F.base64(cur.cast("binary")), "[\r\n]", "")
     return df.withColumn(fields_col, _set_field(base, dest_key, new, cur.isNotNull()))
 
 
