@@ -2680,7 +2680,13 @@ def oracle_sql() -> dict[str, str]:
     from loongcollector_spark.operators.sketch import _alpha as _hll_alpha
 
     _hll_a16 = _hll_alpha(16) * 16 * 16 * float(1 << 57)
-    words = r"string_split_regex(trim(lower(text)), '\s+')"
+    # Python .split() semantics, mirroring text.py::_words — the list_filter
+    # drops the empty EDGE tokens regex-split leaves when text starts/ends
+    # with non-space whitespace (trim strips only 0x20), and makes an
+    # empty/whitespace-only text count 0 words, not 1. No fixture row is
+    # affected (documents.parquet carries no tabs/newlines/empty texts at any
+    # SF — verified), but the two engines now agree on ANY data.
+    words = r"list_filter(string_split_regex(trim(lower(text)), '\s+'), w -> w <> '')"
     training = {
         "dedup_exact_norm": f"""
             select cast(length(dup_key) as int) as key_len,
@@ -2831,13 +2837,13 @@ def oracle_sql() -> dict[str, str]:
         "curation_pipeline": r"""
             with ft as (
               select doc_id, lang, source, text,
-                     cast(len(string_split_regex(trim(lower(text)), '\s+')) as int) as n_words,
-                     round((length(text) - (len(string_split_regex(trim(lower(text)), '\s+')) - 1)) * 1.0
-                           / greatest(len(string_split_regex(trim(lower(text)), '\s+')), 1), 6) as mean_word_len,
+                     cast(len(list_filter(string_split_regex(trim(lower(text)), '\s+'), w -> w <> '')) as int) as n_words,
+                     round((length(text) - (len(list_filter(string_split_regex(trim(lower(text)), '\s+'), w -> w <> '')) - 1)) * 1.0
+                           / greatest(len(list_filter(string_split_regex(trim(lower(text)), '\s+'), w -> w <> '')), 1), 6) as mean_word_len,
                      round(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) * 1.0
                            / greatest(length(text), 1), 6) as punct_ratio,
                      round(len(list_filter(string_split_regex(trim(lower(text)), '\s+'), w -> list_contains(['the', 'and', 'of', 'to', 'in', 'is', 'that', 'for', 'with', 'was'], w))) * 1.0
-                           / greatest(len(string_split_regex(trim(lower(text)), '\s+')), 1), 6) as stopword_ratio
+                           / greatest(len(list_filter(string_split_regex(trim(lower(text)), '\s+'), w -> w <> '')), 1), 6) as stopword_ratio
               from documents),
             scored as (
               select doc_id, lang, source, text,
@@ -3871,7 +3877,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_dups_md5": r"""
             with d as (select doc_id, text from documents where doc_id < 500),
             tok as (
-              select doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) as tok
+              select doc_id, unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), w -> w <> '')) as tok
               from d where length(trim(text)) > 0),
             h as (select doc_id, cast(('0x' || substr(md5(tok), 1, 15)) as bigint) as h from tok),
             votes as (

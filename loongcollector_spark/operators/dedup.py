@@ -408,9 +408,15 @@ def _simhash_native(
     from functools import reduce as _reduce
 
     keep = list(id_cols)
+    # array_remove drops the empty edge tokens regex-split leaves when the
+    # text starts/ends with NON-SPACE whitespace: F.trim strips only 0x20, so
+    # "\tword" split on \s+ is ["", "word"] and a whitespace-only "\t" text is
+    # ["", ""] — each phantom "" token voted md5("")'s bits into the signature
+    # (a "\t"-only doc got sig=md5("") instead of the documented 0; found by
+    # the algorithmic differential vs Python text.lower().split()).
     toks = F.when(
         F.length(F.trim(F.col(text_col))) > 0,
-        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+        F.array_remove(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), ""),
     ).otherwise(F.array().cast("array<string>"))
     # Cap the vote at the packed counters' 21-bit field capacity: a >2M-token
     # doc would carry a bit's ones-count into its neighbor's field (silently

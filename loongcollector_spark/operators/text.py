@@ -24,7 +24,12 @@ STOPWORDS: dict[str, list[str]] = {
 
 
 def _words(col: Column) -> Column:
-    return F.split(F.trim(F.lower(col)), r"\s+", -1)
+    """Python ``text.lower().split()`` semantics: whitespace-run split with
+    NO empty tokens. The array_remove matters on the edges — F.trim strips
+    only ASCII space, so a text starting/ending with a tab or newline split
+    to a phantom "" word (and an empty text counted 1 word) before; the
+    DuckDB oracles carry the same ``list_filter(…, w -> w <> '')``."""
+    return F.array_remove(F.split(F.trim(F.lower(col)), r"\s+", -1), "")
 
 
 def language_id(

@@ -458,7 +458,10 @@ def tokenizer_fertility(
     Scale shape: one codegen projection (sizes + a regexp word count) into
     one map-side-combined agg keyed by source. No joins, no Python.
     """
-    words = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    # array_remove: F.trim strips only 0x20, so tab/newline text EDGES split
+    # to phantom "" words (same class as text.py::_words — Python .split()
+    # never yields empties); the fertility denominator must not inflate.
+    words = F.size(F.array_remove(F.split(F.trim(F.col(text_col)), r"\s+"), ""))
     base = df.select(
         F.col(strata_col).alias("stratum"),
         F.size(tokens_col).cast("bigint").alias("_t"),
