@@ -2094,11 +2094,18 @@ def q_percentile_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly metrics downsample per event type (calendar-field date_trunc —
-    timezone-free, identical bucketing in Spark and DuckDB over NTZ)."""
+    timezone-free, identical bucketing in Spark and DuckDB over NTZ).
+
+    ``decimals=2``: events.value is a 2-decimal grid (FIXTURES.md), so the
+    rollup aggregates exact integer cents and divides once — bit-identical
+    across engines.  The legacy ``round(avg, 6)`` float path sat on a decimal
+    half at sf0.1 (1391.13/32 = 43.4728125) where Spark and DuckDB round to
+    different 6th-place ULPs."""
     from loongcollector_spark.operators.aggregate import time_rollup
 
     return time_rollup(
-        _t(spark, sf_dir, "events"), "ts", ["event_type"], value_col="value", every="hour"
+        _t(spark, sf_dir, "events"), "ts", ["event_type"], value_col="value", every="hour",
+        decimals=2,
     )
 
 
@@ -3550,14 +3557,19 @@ def oracle_sql() -> dict[str, str]:
             from j
         """,
         "time_rollup": """
+            -- exact integer-cents aggregation + one IEEE division per output:
+            -- bit-deterministic vs the Spark side (see q_time_rollup docstring)
             select date_trunc('hour', ts) as bucket,
                    event_type,
                    count(*) as n_rows,
-                   round(sum(value), 6) as sum_v,
-                   round(avg(value), 6) as avg_v,
-                   round(min(value), 6) as min_v,
-                   round(max(value), 6) as max_v
-            from events group by 1, 2
+                   sum(c) / 100.0 as sum_v,
+                   sum(c) / (count(*) * 100.0) as avg_v,
+                   min(c) / 100.0 as min_v,
+                   max(c) / 100.0 as max_v
+            from (select ts, event_type,
+                         cast(round(value * 100) as bigint) as c
+                  from events)
+            group by 1, 2
         """,
         "percentile_panel": """
             select event_type,

@@ -343,6 +343,7 @@ def time_rollup(
     group_cols: list[str],
     value_col: str | None = None,
     every: str = "hour",
+    decimals: int | None = None,
 ) -> DataFrame:
     """Time-bucketed downsample — the metrics-rollup stage after
     ``log_to_sls_metric`` (reference analog: SLS metric aggregation windows):
@@ -351,6 +352,19 @@ def time_rollup(
     so NTZ inputs bucket identically everywhere — no session-timezone
     dependence (an epoch-division bucketing would shift with the JVM tz).
     Rows: (bucket, group..., n_rows [, sum/avg/min/max of value_col]).
+
+    ``decimals``: when the value column lives on a fixed decimal grid (e.g.
+    2-decimal monetary metrics), pass its grid width and the sum/avg/min/max
+    are computed on the exact integer grid (``round(v·10^d)`` as bigint) and
+    converted back with ONE IEEE division each.  That makes every output
+    bit-deterministic across engines and partition orders — a float-sum is
+    order-dependent in its last ULP, and ``round(avg, 6)`` can land on an
+    exact decimal half (e.g. 1391.13/32 = 43.4728125) where Spark's
+    BigDecimal-HALF_UP of the full binary expansion and another engine's
+    rounding disagree by one ULP of the 6th place.  Exactness bound: the
+    per-group integer sum must stay under 2^53 (10^10 rows × 10^5-cent
+    values ≈ 5·10^14 — comfortably inside).  ``decimals=None`` keeps the
+    legacy round-to-6 float aggregation for off-grid values.
 
     Scale shape: one projection + one map-side-combined hash aggregate; the
     shuffle carries only |buckets × groups| pre-combined rows.  Bucket count
@@ -361,10 +375,20 @@ def time_rollup(
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     if value_col is not None:
         v = F.col(value_col)
-        aggs += [
-            F.round(F.sum(v), 6).alias("sum_v"),
-            F.round(F.avg(v), 6).alias("avg_v"),
-            F.round(F.min(v), 6).alias("min_v"),
-            F.round(F.max(v), 6).alias("max_v"),
-        ]
+        if decimals is not None:
+            scale = F.lit(float(10**decimals))
+            grid = F.round(v * F.lit(10**decimals), 0).cast("long")
+            aggs += [
+                (F.sum(grid) / scale).alias("sum_v"),
+                (F.sum(grid) / (F.count(F.lit(1)) * scale)).alias("avg_v"),
+                (F.min(grid) / scale).alias("min_v"),
+                (F.max(grid) / scale).alias("max_v"),
+            ]
+        else:
+            aggs += [
+                F.round(F.sum(v), 6).alias("sum_v"),
+                F.round(F.avg(v), 6).alias("avg_v"),
+                F.round(F.min(v), 6).alias("min_v"),
+                F.round(F.max(v), 6).alias("max_v"),
+            ]
     return df.groupBy(bucket, *group_cols).agg(*aggs)

@@ -1465,6 +1465,38 @@ def test_time_rollup_hourly(spark):
     assert out[("2024-03-01T10:00:00", "b")]["sum_v"] == 7.0
 
 
+def test_time_rollup_decimal_grid_halfway(spark):
+    """decimals=2 pins the cross-engine half-way hazard: 31×43.47 + 43.56
+    sums to exactly 1391.13 and avg = 139113/3200 = 43.4728125, a decimal
+    half at the 6th place where round(avg,6) differed between Spark's
+    BigDecimal HALF_UP and DuckDB (sf0.1 driver replay, round 5).  The grid
+    path must return the single IEEE quotient — bit-equal to Python's
+    139113 / 3200.0 and to DuckDB evaluating the oracle-shaped SQL."""
+    from datetime import datetime as dt
+
+    import duckdb
+
+    from loongcollector_spark.operators.aggregate import time_rollup
+
+    rows = [(dt(2024, 1, 18, 22, i % 60), "signup", 43.47) for i in range(31)]
+    rows.append((dt(2024, 1, 18, 22, 31), "signup", 43.56))
+    df = spark.createDataFrame(rows, "ts timestamp_ntz, event_type string, value double")
+    out = time_rollup(df, "ts", ["event_type"], value_col="value", decimals=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_rows"] == 32
+    assert r["sum_v"] == 139113 / 100.0
+    assert r["avg_v"] == 139113 / 3200.0  # exact IEEE quotient, no round()
+    assert r["min_v"] == 43.47 and r["max_v"] == 43.56
+    duck = duckdb.connect().execute(
+        "select sum(c)/100.0, sum(c)/(count(*)*100.0) from ("
+        "  select cast(round(v*100) as bigint) c from (values "
+        + ",".join(["(43.47::double)"] * 31)
+        + ",(43.56::double)) t(v))"
+    ).fetchone()
+    assert repr(duck[0]) == repr(r["sum_v"]) and repr(duck[1]) == repr(r["avg_v"])
+
+
 def test_url_canonicalize_rules(spark):
     from loongcollector_spark.operators.url import url_canonicalize
 
