@@ -271,10 +271,17 @@ def fields_with_condition(
         applied = case_apply(c)
         new_map = F.when(cond, applied) if new_map is None else new_map.when(cond, applied)
     new_map = new_map.otherwise(base) if new_map is not None else base
-    out = df.withColumn(fields_col, new_map)
+    # Match is decided on the ORIGINAL fields, so the drop filter must run
+    # BEFORE the map is rewritten: filtering after withColumn re-resolves
+    # `base` against the transformed map, and a row whose only matching term
+    # was clobbered by its own case's add_fields (e.g. condition lvl~err.*
+    # plus add_fields lvl=case0) would be wrongly dropped (fresh-seed
+    # differential, round 5).  Filter-first is also the cheaper plan: only
+    # survivors pay for the map rewrite.
+    out = df
     if drop_if_not_match:
         keep = F.lit(False)
         for c in cases:
             keep = keep | case_cond(c)
         out = out.filter(keep)
-    return out
+    return out.withColumn(fields_col, new_map)

@@ -48,7 +48,11 @@ def _src_val(labels: dict, rule: RelabelRule) -> str:
 
 
 def _apply_rule(labels: dict, rule: RelabelRule) -> dict | None:
-    full = re.compile(f"^(?:{rule.regex})$")
+    # re.ASCII: Go RE2 (the reference) and Java regex (the product) both
+    # treat \w/\d/\s/\b as ASCII classes by default; Python's unicode default
+    # made (\w+) fullmatch 'café' here while both engines reject it
+    # (fresh-seed differential, round 5).
+    full = re.compile(f"^(?:{rule.regex})$", re.ASCII)
     val = _src_val(labels, rule)
     a = rule.action
     if a == "keep":
