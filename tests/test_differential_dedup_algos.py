@@ -325,6 +325,25 @@ def test_connected_components_differential(spark):
     assert gotc == wantc
 
 
+def test_connected_components_deep_chain(spark):
+    """Pin O(log² n) star-contraction on a deep graph: a 256-node shuffled
+    chain (diameter 255) is far above what an O(diameter) min-label
+    propagation could finish inside max_iter=30 — the fresh-seed
+    differential caught the old hook-only implementation returning a
+    silently-stale label at depth 31.  Large-star/small-star must converge
+    well inside the cap (measured: 6-8 rounds) and raise rather than
+    return stale labels if it ever does not."""
+    rng = random.Random(987654)
+    ch = list(range(256))
+    rng.shuffle(ch)
+    edges = list(zip(ch, ch[1:]))
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    labels, _ = _union_find(edges)
+    got = {r["node"]: r["lab"] for r in connected_components(df).collect()}
+    assert got == labels
+    assert set(got.values()) == {0}  # one component, min id 0
+
+
 def test_connected_components_one_round_mutant_fails():
     edges = _graph_corpus()
     labels, _ = _union_find(edges)
