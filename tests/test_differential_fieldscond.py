@@ -129,6 +129,21 @@ def test_fieldscond_corpus_kills_mutants():
         rows = [_rand_fields(rng) for _ in range(200)]
         all_cases.append(cases)
         all_rows.append(rows)
+    # crafted trial: one row distinguishes all three mutants regardless of the
+    # random draw (a fresh-seed sweep found a draw where no random (case, row)
+    # pair exercised the OR-vs-AND difference and the or_as_and mutant
+    # survived) — first-match picks hit=or, last-match falls through to the
+    # catch-all, AND-coerced OR misses c_or entirely, and absent-pads-empty
+    # wrongly fires the ghost-startwith case first
+    all_cases.append([
+        {"condition": {"ghost": ""}, "relation_operator": "startwith",
+         "add_fields": {"hit": "ghost"}},
+        {"condition": {"lvl": "err", "ghost": "err"},
+         "relation_operator": "equals", "logical_operator": "or",
+         "add_fields": {"hit": "or"}},
+        {"condition": {}, "add_fields": {"hit": "catchall"}},
+    ])
+    all_rows.append([{"lvl": "err"}])
 
     def last_match(fields, cases, drop):
         res = None
