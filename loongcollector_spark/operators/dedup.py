@@ -33,6 +33,33 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 
+def _maybe_persist_buckets(buckets: DataFrame, persist: bool) -> DataFrame:
+    """Opt-in bucket-table persistence for the LSH pair generators.
+
+    The banded/blocked bucket table embeds the signature computation — the
+    most expensive stage of each LSH family — and is consumed by THREE
+    sub-plans: the hot-bucket count, and both sides of the bucket self-join.
+    AQE's exchange reuse shares the shuffle between the two self-join sides
+    at sort-merge scale, but the hot-count aggregate and any broadcast-sized
+    side recompute the signatures from the raw corpus (measured: 6 parquet
+    scans of the doc table in the final adaptive plan at small SF).
+
+    At 100 TB that recomputation dominates, while the bucket table itself is
+    tiny relative to the corpus (|docs|·bands rows of 3 longs — no text).
+    ``persist=True`` caches it MEMORY_AND_DISK so signatures are computed
+    exactly once. Default False: at bench scale (≤ sf0.1) the A/B measured
+    persist WORSE (9.3 s vs 3.3 s warm — materialization blocks pipelining
+    and the recompute hits the OS page cache), and the driver's oracle gate
+    compares plans without caches. Callers own the unpersist (the returned
+    pair frame exposes the handle as ``._lsh_buckets``, same contract as
+    semdedup's ``._semdedup_cached``)."""
+    if not persist:
+        return buckets
+    from pyspark import StorageLevel
+
+    return buckets.persist(StorageLevel.MEMORY_AND_DISK)
+
+
 # ---------------------------------------------------------------------------
 # exact
 # ---------------------------------------------------------------------------
@@ -262,11 +289,14 @@ def minhash_lsh_pairs_md5(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_bucket_size: int | None = None,
+    persist_buckets: bool = False,
 ) -> DataFrame:
     """minhash_lsh_pairs with the md5 hash family — bit-for-bit replayable in
     DuckDB, so the ENTIRE LSH path (signatures, banding, candidates, verify)
     sits under the correctness gate instead of a rows-only check. Production
-    uses the xxhash64 variant (faster); this one is the auditable twin."""
+    uses the xxhash64 variant (faster); this one is the auditable twin.
+    ``persist_buckets``: compute signatures once at 100 TB scale
+    (_maybe_persist_buckets)."""
     assert num_hashes % bands == 0
     r = num_hashes // bands
     sigs = minhash_signatures_md5(df, num_hashes, n, text_col, id_col)
@@ -291,6 +321,7 @@ def minhash_lsh_pairs_md5(
             )
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    banded = _cached_buckets = _maybe_persist_buckets(banded, persist_buckets)
     if max_bucket_size is not None:
         # stop-bucket cap: a (band, bucket) holding m docs yields m²/2 candidate
         # pairs — degenerate hot buckets (vocabulary-limited corpora, boilerplate)
@@ -311,7 +342,10 @@ def minhash_lsh_pairs_md5(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    return _verify_candidates_jaccard(df, cands, n, text_col, id_col, threshold)
+    out = _verify_candidates_jaccard(df, cands, n, text_col, id_col, threshold)
+    if persist_buckets:
+        out._lsh_buckets = _cached_buckets  # unpersist handle (see _maybe_persist_buckets)
+    return out
 
 
 def minhash_lsh_pairs(
@@ -323,6 +357,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_bucket_size: int | None = None,
+    persist_buckets: bool = False,
 ) -> DataFrame:
     """Banded-LSH candidate generation + exact-Jaccard verification.
 
@@ -354,6 +389,7 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    banded = _cached_buckets = _maybe_persist_buckets(banded, persist_buckets)
     if max_bucket_size is not None:
         # stop-bucket cap: a (band, bucket) holding m docs yields m²/2 candidate
         # pairs — degenerate hot buckets (vocabulary-limited corpora, boilerplate)
@@ -374,7 +410,10 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    return _verify_candidates_jaccard(df, cands, n, text_col, id_col, threshold)
+    out = _verify_candidates_jaccard(df, cands, n, text_col, id_col, threshold)
+    if persist_buckets:
+        out._lsh_buckets = _cached_buckets  # unpersist handle (see _maybe_persist_buckets)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -484,7 +523,12 @@ def simhash60_md5(
 
 
 def _simhash_block_pairs(
-    sh: DataFrame, nblocks: int, width: int, max_hamming: int, max_bucket_size: int | None
+    sh: DataFrame,
+    nblocks: int,
+    width: int,
+    max_hamming: int,
+    max_bucket_size: int | None,
+    persist_buckets: bool = False,
 ) -> DataFrame:
     """Shared pigeonhole block-join for both simhash families: explode each
     signature into its ``nblocks`` (blk, bits) bucket keys, self-join on the
@@ -517,6 +561,7 @@ def _simhash_block_pairs(
             )
         ).alias("bb"),
     ).select("id", "simhash", F.col("bb.blk").alias("blk"), F.col("bb.bits").alias("bits"))
+    blocked = _cached_buckets = _maybe_persist_buckets(blocked, persist_buckets)
     if max_bucket_size is not None:
         hot = (
             blocked.groupBy("blk", "bits")
@@ -528,7 +573,7 @@ def _simhash_block_pairs(
         )
     a, b = blocked.alias("a"), blocked.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (
+    out = (
         a.join(
             b,
             (F.col("a.blk") == F.col("b.blk"))
@@ -539,6 +584,9 @@ def _simhash_block_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+    if persist_buckets:
+        out._lsh_buckets = _cached_buckets  # unpersist handle (see _maybe_persist_buckets)
+    return out
 
 
 def simhash_dup_pairs_md5(
@@ -547,6 +595,7 @@ def simhash_dup_pairs_md5(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_bucket_size: int | None = None,
+    persist_buckets: bool = False,
 ) -> DataFrame:
     """simhash_dup_pairs with the md5 family over 60 bits — every stage
     (token hashes, bit votes, pigeonhole blocks, hamming filter) has an exact
@@ -557,7 +606,7 @@ def simhash_dup_pairs_md5(
     nblocks = max_hamming + 1
     width = 60 // nblocks
     sh = simhash60_md5(df.select(F.col(id_col).alias("id"), text_col), text_col, id_col="id")
-    return _simhash_block_pairs(sh, nblocks, width, max_hamming, max_bucket_size)
+    return _simhash_block_pairs(sh, nblocks, width, max_hamming, max_bucket_size, persist_buckets)
 
 
 def simhash64(
@@ -576,6 +625,7 @@ def simhash_dup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_bucket_size: int | None = None,
+    persist_buckets: bool = False,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ k via the 4-block pigeonhole
     trick: split 64 bits into k+1 blocks — any pair within distance k agrees
@@ -584,7 +634,7 @@ def simhash_dup_pairs(
     nblocks = max_hamming + 1
     width = 64 // nblocks
     sh = simhash64(df.select(F.col(id_col).alias("id"), text_col), text_col, id_col="id")
-    return _simhash_block_pairs(sh, nblocks, width, max_hamming, max_bucket_size)
+    return _simhash_block_pairs(sh, nblocks, width, max_hamming, max_bucket_size, persist_buckets)
 
 
 # ---------------------------------------------------------------------------

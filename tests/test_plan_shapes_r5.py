@@ -150,3 +150,39 @@ def test_pq_ann_no_cartesian_no_pairwise(spark):
     bnlj = [ln for ln in plan.splitlines() if "BroadcastNestedLoopJoin" in ln]
     assert all("BuildRight" in ln or "BuildLeft" in ln for ln in bnlj)
     assert plan.count("ShuffledHashJoin") == 0, plan
+
+
+def test_lsh_persist_buckets_identical_and_single_signature_pass(spark):
+    """persist_buckets=True must not change results, must expose a working
+    unpersist handle, and must make the bucket table feed the hot-count and
+    both self-join sides from the cache (InMemoryTableScan / TableCacheQueryStage)
+    instead of recomputing signatures from the corpus scan."""
+    from loongcollector_spark.operators.dedup import (
+        minhash_lsh_pairs_md5,
+        simhash_dup_pairs_md5,
+    )
+
+    docs = spark.range(120).select(
+        F.concat(F.lit("d"), F.format_string("%03d", F.col("id"))).alias("doc_id"),
+        F.concat(
+            F.lit("the quick brown fox jumps over dog number "),
+            (F.col("id") % 7).cast("string"),
+        ).alias("text"),
+    )
+    for fn, kw in (
+        (minhash_lsh_pairs_md5, dict(num_hashes=16, bands=8, threshold=0.3)),
+        (simhash_dup_pairs_md5, dict(max_hamming=7)),
+    ):
+        base = fn(docs, max_bucket_size=50, **kw)
+        cached = fn(docs, max_bucket_size=50, persist_buckets=True, **kw)
+        try:
+            got_base = sorted(tuple(r) for r in base.collect())
+            got_cached = sorted(tuple(r) for r in cached.collect())
+            assert got_base == got_cached and len(got_cached) > 0
+            plan = cached._jdf.queryExecution().executedPlan().toString()
+            assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan, plan
+            handle = cached._lsh_buckets
+            assert handle.storageLevel.useMemory
+        finally:
+            cached._lsh_buckets.unpersist()
+        assert not cached._lsh_buckets.storageLevel.useMemory
