@@ -364,7 +364,8 @@ def minhash_lsh_pairs(
     sig split into ``bands`` rows of ``num_hashes/bands``; docs colliding on
     (band_idx, band_hash) become candidates (shuffle by band-hash — no N²);
     candidates are verified with exact n-gram Jaccard and filtered at
-    ``threshold``. Returns (id_a, id_b, jaccard)."""
+    ``threshold``. Returns (id_a, id_b, jaccard). ``persist_buckets``:
+    compute signatures once at 100 TB scale (_maybe_persist_buckets)."""
     assert num_hashes % bands == 0
     r = num_hashes // bands
     sigs = minhash_signatures(df, num_hashes, n, text_col, id_col)
